@@ -1,24 +1,82 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.operators.{DedupConfig, DedupPipeline}
+import graft.sources.PagesGen
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "dedup":{"docs":N,"docs_per_sec":...},
+  *  "scaling":{"cpus_lo":8,"docs_per_sec_lo":...,"cpus_hi":32,
+  *             "docs_per_sec_hi":...,"efficiency":...}}
+  *
+  * The scaling block is the sandbox stand-in for the north rule's N vs 4N
+  * executor requirement: the same dedup job, same input size, at local[N]
+  * and local[4N]; efficiency = thr(4N) / (4 * thr(N)).
+  */
 object Bench {
+
+  private def build(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // bench-only: RAM-backed shuffle scratch (single-node stand-in for a
+      // cluster's local SSDs; /tmp here is the one spinning root disk and
+      // would serialize all 32 threads behind it). Spark removes its
+      // spark-* subdirs on stop.
+      .config("spark.local.dir", "/dev/shm/graft-bench")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Dedup docs/sec at a given parallelism on a fixed-size corpus. */
+  private def dedupThroughput(cpus: Int, nDocs: Long): (Double, Double) = {
+    val spark = build(cpus)
+    try {
+      val pages = PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count() // materialize generation outside the timed section
+      val t0 = System.nanoTime()
+      DedupPipeline.run(spark, pages, DedupConfig()).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      pages.unpersist()
+      (sec, nDocs / sec)
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val hiCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loCpus = math.max(1, hiCpus / 4)
+    // corpus sized to the sf dir's documents table (ties bench scale to sf)
+    val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+      "q_session_gaps", "q_top_order_per_cust", "d_exact_dedup", "d_quality",
+      "e_cosine_topk", "p_dedup_clusters")
+
+    val spark = build(hiCpus)
+    // scaling corpus: large enough that per-doc compute dominates fixed
+    // stage latency (which does not parallelize and would mask true scaling)
+    val nDocs = math.max(100000L, 2 * spark.read.parquet(s"$sfDir/documents.parquet").count())
+    val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val (_, thrLo) = dedupThroughput(loCpus, nDocs)
+    val (secHi, thrHi) = dedupThroughput(hiCpus, nDocs)
+    val eff = thrHi / (4.0 * thrLo)
+
+    val total = queryTimes.map(_._2).sum + secHi
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$nDocs,"sec":$secHi%.3f,"docs_per_sec":$thrHi%.1f},"scaling":{"cpus_lo":$loCpus,"docs_per_sec_lo":$thrLo%.1f,"cpus_hi":$hiCpus,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f}}""")
   }
 }

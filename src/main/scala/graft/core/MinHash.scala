@@ -41,16 +41,24 @@ object MinHash {
 
   /** Distinct 64-bit hashes of the lowercased text's char k-shingles.
     * Returns empty for texts shorter than k (those never join clusters).
+    * Dedup via sort (primitive arrays, no boxing).
     */
   def shingles(text: String, k: Int): Array[Long] = {
     if (text == null) return Array.emptyLongArray
     val norm = PyText.pyStrip(text.toLowerCase(java.util.Locale.ROOT))
     val cps = PyText.codePoints(norm)
     if (cps.length < k) return Array.emptyLongArray
-    val set = new mutable.HashSet[Long]
+    val all = new Array[Long](cps.length - k + 1)
     var i = 0
-    while (i <= cps.length - k) { set.add(hashWindow(cps, i, k)); i += 1 }
-    set.toArray
+    while (i <= cps.length - k) { all(i) = hashWindow(cps, i, k); i += 1 }
+    java.util.Arrays.sort(all)
+    var w = 1
+    i = 1
+    while (i < all.length) {
+      if (all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == all.length) all else java.util.Arrays.copyOf(all, w)
   }
 
   /** MinHash signature: slot i = unsigned-min over shingles of
@@ -71,6 +79,41 @@ object MinHash {
       }
       sig(p) = best
       p += 1
+    }
+    sig
+  }
+
+  /** One-permutation MinHash with rotation densification (Li/Owen/Zhang
+    * 2012 — the web-scale variant): hash each shingle ONCE, scatter into m
+    * slots by its top bits, keep the unsigned-min per slot, then fill empty
+    * slots from the next non-empty slot clockwise (re-mixed with the slot
+    * index so borrowed values stay slot-specific). O(|shingles| + m) vs the
+    * classic O(|shingles| * m); slot-equality probability still estimates
+    * Jaccard, so the same LSH banding math applies.
+    */
+  def signatureOPH(shingleHashes: Array[Long], m: Int, seed: Long = 42L): Array[Long] = {
+    if (shingleHashes.isEmpty) return null
+    val sig = new Array[Long](m)
+    val filled = new Array[Boolean](m)
+    val seedKey = mix64(seed)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = mix64(shingleHashes(i) ^ seedKey)
+      val slot = ((h >>> 33) % m).toInt // top bits pick the slot
+      if (!filled(slot) || java.lang.Long.compareUnsigned(h, sig(slot)) < 0) {
+        sig(slot) = h
+        filled(slot) = true
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < m) {
+      if (!filled(j)) {
+        var k = (j + 1) % m
+        while (!filled(k)) k = (k + 1) % m // >=1 filled slot guaranteed
+        sig(j) = mix64(sig(k) ^ j)
+      }
+      j += 1
     }
     sig
   }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.MinHash
+import graft.functions.Fns
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k (the exactness baseline — a broadcast of the
+  * query side against a full scan of the corpus, no shuffle of the corpus)
+  * and a random-hyperplane-LSH bucketed variant (the scale path: candidates
+  * only from matching hash buckets across `nTables` independent tables —
+  * corpus-size-independent probe cost per query).
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector (queries small: broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Fns.cosineCol(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(vec, plane_i)), packed
+    * per table into a Long bucket key. Deterministic planes from the seed.
+    */
+  private def hyperplaneBuckets(dim: Int, bitsPerTable: Int, nTables: Int, seed: Long) = {
+    // planes(t)(b)(d): deterministic pseudo-gaussian via sum of mixed uniforms
+    val planes = Array.tabulate(nTables, bitsPerTable, dim) { (t, b, d) =>
+      val h = MinHash.mix64(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d)
+      ((h >>> 11).toDouble * 1.1102230246251565e-16) * 2.0 - 1.0
+    }
+    udf { vec: Array[Float] =>
+      if (vec == null) null
+      else Array.tabulate(nTables) { t =>
+        var key = 0L
+        var b = 0
+        while (b < bitsPerTable) {
+          var dot = 0.0
+          var d = 0
+          while (d < vec.length) { dot += vec(d) * planes(t)(b)(d); d += 1 }
+          if (dot >= 0) key |= (1L << b)
+          b += 1
+        }
+        key | (t.toLong << 32) // disambiguate tables in one bucket space
+      }
+    }
+  }
+
+  /** LSH ANN: candidates share a bucket in >= 1 of nTables tables; exact
+    * cosine re-rank of candidates only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bitsPerTable: Int = 12, nTables: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
+    val cB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      explode(bucketsOf(col(vecCol))).as("bucket"))
+    val qB = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(bucketsOf(col(vecCol))).as("bucket")))
+    val cand = qB.join(cB, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cosine", Fns.cosineCol(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}
