@@ -251,6 +251,65 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // two-phase salted aggregation (SURVEY §4 skew): identical result to
+    // the direct GROUP BY the oracle runs
+    "q_salted_custspend" -> ((s, dir) => {
+      SkewOps.saltedAggBy(ld(s, dir, "orders"), col("o_custkey"), col("o_orderkey"),
+          bp(col("o_totalprice"), 100))
+        .select(col("key").as("o_custkey"), col("n"), col("total").as("spend_c"))
+        .orderBy("o_custkey")
+    }),
+
+    // recency sort + limit (SURVEY §2.6 W1 retrieval cap)
+    "q_recent_topn" -> ((s, dir) => {
+      ld(s, dir, "events")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // three-phase block dedup (SURVEY §2.5 A3 + §2.4 J4 + §2.5 A4) over a
+    // deterministic nested-block synthesis seeded by the documents table
+    "p_block_dedup" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").filter(col("doc_id") < 120)
+      val blocks = docs.select(
+        col("doc_id").as("idx"),
+        substring(col("text"), 1, 40).as("title"),
+        // nested id sets: block i holds ids pool[(i%7) .. (i%7 + i%5)]
+        transform(sequence(pmod(col("doc_id"), lit(7)),
+            pmod(col("doc_id"), lit(7)) + pmod(col("doc_id"), lit(5))),
+          x => concat(lit("a"), x)).as("article_ids"))
+      val sections = docs.filter(col("doc_id") < 30)
+        .groupBy(pmod(col("doc_id"), lit(5)).as("section_id"))
+        .agg(first(lit("sec")).as("title"),
+          collect_list(col("doc_id")).as("block_indices"))
+      val (deduped, remapped) = BlockDedup.run(s, blocks, sections)
+      deduped.join(remapped.select(explode(col("block_indices")).as("idx"),
+          col("section_id")), Seq("idx"), "left")
+        .groupBy(col("idx"), col("title"), col("article_ids"))
+        .agg(sort_array(collect_list(col("section_id"))).as("sections"))
+        .orderBy("idx")
+    }),
+
+    // greedy NN ordering within dedup clusters (SURVEY §2.6 W3)
+    "p_greedy_order" -> ((s, _) => {
+      val pages = PagesGen.generate(s, nDocs = 1200, nDomains = 50, seed = 42L)
+      val clusters = DedupPipeline.run(s, pages)
+      val withText = clusters.join(pages.select(col("url"), col("text")), "url")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("warc_ts").desc, col("url"))))
+      OrderingOps.greedyOrder(s, withText).orderBy("cluster_id", "position")
+    }),
+
+    // threshold calibration harness (SURVEY §2.5 A9)
+    "p_calibration" -> ((s, _) => {
+      val pages = PagesGen.generate(s, nDocs = 1500, nDomains = 50, seed = 42L)
+      Calibration.grid(s, Calibration.labeledPairsFromTruth(pages))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          bp(col("f1"), 10000).as("f1_bp"))
+        .orderBy("threshold")
+    }),
+
     // SimHash near-dup buckets (SURVEY §2.3): docs whose 64-bit SimHash
     // matches on 3-of-4 16-bit bands join a candidate pool, verified by
     // hamming <= 6
@@ -376,6 +435,13 @@ object SparkEntry {
         |     (length(trim(text)) - length(replace(trim(text), ' ', '')))) * 100.0 /
         |     len(string_split_regex(trim(text), '\s+'))) AS BIGINT) END AS mean_token_len_c
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_salted_custspend" ->
+      """SELECT o_custkey, count(*) AS n,
+        | CAST(sum(round(o_totalprice*100)) AS BIGINT) AS spend_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recent_topn" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

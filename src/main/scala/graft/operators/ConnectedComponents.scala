@@ -38,8 +38,10 @@ object ConnectedComponents {
 
     // convergence: order-insensitive fingerprint of the full label
     // assignment — one cheap aggregate per round instead of a join
-    def fingerprint(df: DataFrame): Long =
-      df.agg(expr("bit_xor(xxhash64(id, component))")).first().getLong(0)
+    def fingerprint(df: DataFrame): Long = {
+      val r = df.agg(expr("bit_xor(xxhash64(id, component))")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty vertex set
+    }
 
     var prevFp = fingerprint(labels)
     var iter = 0

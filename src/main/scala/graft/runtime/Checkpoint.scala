@@ -49,6 +49,37 @@ object Checkpoint {
       .select("day").distinct().collect().map(_.getString(0)).toSet
   }
 
+  /** Retention GC (reference `storage/io.py:66-91`): drop output day
+    * partitions and their checkpoint/metrics rows strictly older than
+    * `cutoffDay` (lexicographic yyyy-MM-dd compare, as the reference does).
+    * Returns the deleted day keys.
+    */
+  def gc(spark: SparkSession, root: String, cutoffDay: String): Seq[String] = {
+    import spark.implicits._
+    val outDir = new java.io.File(s"$root/output")
+    val victims = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filter(_.getName.stripPrefix("day=") < cutoffDay)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    victims.foreach(rmTree)
+    // rewrite the small bookkeeping tables without the dropped days
+    Seq("checkpoints", "metrics").foreach { t =>
+      val dir = new java.io.File(s"$root/$t")
+      if (dir.exists()) {
+        val kept = spark.read.parquet(dir.toString)
+          .filter(col("day") >= cutoffDay).collect()
+        val schema = spark.read.parquet(dir.toString).schema
+        rmTree(dir)
+        spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+          .write.parquet(dir.toString)
+      }
+    }
+    victims.map(_.getName.stripPrefix("day=")).toSeq.sorted
+  }
+
   /** Process every day partition of `pages` not yet checkpointed; returns
     * the list of days processed this run. `failAfter` injects a crash after
     * N partitions (test hook for the kill/rerun fixture).
