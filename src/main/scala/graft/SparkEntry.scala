@@ -155,7 +155,7 @@ object SparkEntry {
     // last-wins dedup-on-write (SURVEY §2.1 S6 upsert sink semantics)
     "q_lineitem_lastwins" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc, col("l_returnflag").desc)
       ld(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -249,6 +249,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_inter"),
           bp(col("jaccard"), 10000).as("jaccard_bp"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // data-quality coverage gate (SURVEY §2.5 A8)
+    "q_coverage_gate" -> ((s, dir) => {
+      Batching.coverageGate(ld(s, dir, "orders").select(col("o_orderkey").as("id")),
+          ld(s, dir, "lineitem").select(col("l_orderkey").as("id")),
+          "id", 0.95)
+        .select(col("n_assigned"), col("n_population"),
+          bp(col("coverage"), 10000).as("coverage_bp"), col("pass"))
     }),
 
     // two-phase salted aggregation (SURVEY §4 skew): identical result to
@@ -403,7 +412,7 @@ object SparkEntry {
     "q_lineitem_lastwins" ->
       """SELECT l_returnflag, count(*) AS n FROM (
         | SELECT l_returnflag, row_number() OVER (PARTITION BY l_orderkey
-        |   ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |   ORDER BY l_shipdate DESC, l_linenumber DESC, l_returnflag DESC) AS rn
         | FROM lineitem) WHERE rn=1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_md5,
@@ -435,6 +444,15 @@ object SparkEntry {
         |     (length(trim(text)) - length(replace(trim(text), ' ', '')))) * 100.0 /
         |     len(string_split_regex(trim(text), '\s+'))) AS BIGINT) END AS mean_token_len_c
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_coverage_gate" ->
+      """WITH pop AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+        | hit AS (SELECT count(*) AS n_assigned FROM pop
+        |   WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = pop.id))
+        |SELECT n_assigned, (SELECT count(*) FROM pop) AS n_population,
+        | CAST(round((n_assigned * 1.0 / (SELECT count(*) FROM pop)) * 10000) AS BIGINT)
+        |   AS coverage_bp,
+        | n_assigned * 1.0 / (SELECT count(*) FROM pop) >= 0.95 AS pass
+        |FROM hit""".stripMargin,
     "q_salted_custspend" ->
       """SELECT o_custkey, count(*) AS n,
         | CAST(sum(round(o_totalprice*100)) AS BIGINT) AS spend_c

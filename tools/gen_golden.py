@@ -266,3 +266,34 @@ print(file=sys.stderr, *["wrote fixtures:",
       len(html_cases), "extract,", len(clean_cases), "clean,",
       len(url_cases), "url,", len(lang_cases), "lang,",
       len(emb_cases), "embed,", len(groups), "golden groups over", len(ids), "docs"])
+
+# ---------------------------------------------------------------- external id
+rss = load("ref_rss_idonly", None) if False else None
+# _build_external_id is module-level in rss.py but rss.py imports heavy deps;
+# replicate via the same stdlib calls it makes (json/hashlib) to produce the
+# golden expectations:
+import json as _json
+def _ref_external_id(feed_url, guid, link, title, raw_published_at):
+    if guid and guid.strip():
+        prefix = hashlib.sha1(feed_url.encode("utf-8")).hexdigest()[:10]
+        return f"{prefix}:{guid.strip()}"
+    raw = _json.dumps({
+        "feed_url": feed_url, "link": link, "title": title,
+        "raw_published_at": (raw_published_at or "").strip(),
+    }, sort_keys=True, ensure_ascii=True)
+    return "generated:" + hashlib.sha1(raw.encode("utf-8")).hexdigest()
+
+extid_cases = [
+    ("https://feed.example/rss", "guid-123", "https://x/1", "Title", "2026-01-01"),
+    ("https://feed.example/rss", "  padded-guid  ", "https://x/2", "T", None),
+    ("https://feed.example/rss", None, "https://x/3", "Some Title", "Mon, 01 Jan 2026"),
+    ("https://feed.example/rss", "", "https://x/4", 'quotes "and" \\ slash', None),
+    ("https://другой.пример/rss", None, "https://x/5", "Кириллица заголовок", "  "),
+    ("https://feed.example/rss", None, "https://x/6", "tab\there\nnewline", "raw"),
+]
+with open(f"{RES_TEST}/extid_golden.tsv", "w") as f:
+    for i, (fu, g, l, t, rp) in enumerate(extid_cases):
+        eid = _ref_external_id(fu, g, l, t, rp)
+        f.write("\t".join([str(i), b64(fu), b64(g if g is not None else "\0N"),
+                           b64(l), b64(t), b64(rp if rp is not None else "\0N"), eid]) + "\n")
+print("extid golden written", file=sys.stderr)
