@@ -27,8 +27,11 @@ object Bench {
       // bench-only: RAM-backed shuffle scratch (single-node stand-in for a
       // cluster's local SSDs; /tmp here is the one spinning root disk and
       // would serialize all 32 threads behind it). Spark removes its
-      // spark-* subdirs on stop.
-      .config("spark.local.dir", "/dev/shm/graft-bench")
+      // spark-* subdirs on stop. Falls back to the default when tmpfs is
+      // unavailable.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -70,8 +73,15 @@ object Bench {
     }
     spark.stop()
 
-    val (_, thrLo) = dedupThroughput(loCpus, nDocs)
-    val (secHi, thrHi) = dedupThroughput(hiCpus, nDocs)
+    // interleaved best-of-2 per level: the sandbox VM's wall-clock noise is
+    // ±50%; interleaving guards against drift between the lo and hi
+    // measurements, max-of-runs discards stall outliers
+    val runs = Seq(loCpus, hiCpus, loCpus, hiCpus).map { c =>
+      c -> dedupThroughput(c, nDocs)
+    }
+    val thrLo = runs.filter(_._1 == loCpus).map(_._2._2).max
+    val thrHi = runs.filter(_._1 == hiCpus).map(_._2._2).max
+    val secHi = runs.filter(_._1 == hiCpus).map(_._2._1).min
     val eff = thrHi / (4.0 * thrLo)
 
     val total = queryTimes.map(_._2).sum + secHi
