@@ -207,12 +207,16 @@ object SparkEntry {
 
     // ---- pages pipeline (deterministic in-session corpus; rows-only) ----
 
-    // flagship clustering (SURVEY §7.1); components/keepers/splits
+    // flagship clustering (SURVEY §7.1); components/keepers/splits + the
+    // keeper's merged-away alt_urls lineage (stringified — the driver
+    // harness hashes scalar columns)
     "p_dedup_clusters" -> ((s, _) => {
       val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
       DedupPipeline.run(s, pages)
         .select(col("url"), col("component"), col("chunk"), col("cluster_id"),
-          col("cluster_size"), col("is_keeper"))
+          col("cluster_size"), col("is_keeper"),
+          coalesce(concat_ws(";", transform(col("alt_urls"), x => x.getField("url"))),
+            lit("")).as("alt_urls"))
         .orderBy("cluster_id", "url")
     }),
 
@@ -241,15 +245,17 @@ object SparkEntry {
         .orderBy("day")
     }),
 
-    // word-n-gram Jaccard near-dup pairs (SURVEY §2.3 E2 scalable twin)
-    "p_ngram_jaccard" -> ((s, _) => {
-      val pages = PagesGen.generate(s, nDocs = 1500, nDomains = 100, seed = 42L)
+    // word-n-gram Jaccard near-dup pairs (SURVEY §2.3 E2 scalable twin),
+    // oracle-exact over the documents table (df cap disabled so the n-gram
+    // set matches the oracle's exact-gram computation; the cap path is
+    // kernel-tested in OpsSpec)
+    "d_ngram_jaccard" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(
-          pages.select(col("url").as("doc_id"), col("text")), n = 3, minJaccard = 0.30)
+          ld(s, dir, "documents").select(col("doc_id"), col("text")),
+          n = 3, minJaccard = 0.30, maxShingleDf = Int.MaxValue)
         .select(col("id_a"), col("id_b"), col("n_inter"),
           bp(col("jaccard"), 10000).as("jaccard_bp"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // data-quality coverage gate (SURVEY §2.5 A8)
     "q_coverage_gate" -> ((s, dir) => {
@@ -293,10 +299,15 @@ object SparkEntry {
         .agg(first(lit("sec")).as("title"),
           collect_list(col("doc_id")).as("block_indices"))
       val (deduped, remapped) = BlockDedup.run(s, blocks, sections)
+      // array columns stringified: the driver harness sorts/hashes scalar
+      // columns only
       deduped.join(remapped.select(explode(col("block_indices")).as("idx"),
           col("section_id")), Seq("idx"), "left")
         .groupBy(col("idx"), col("title"), col("article_ids"))
         .agg(sort_array(collect_list(col("section_id"))).as("sections"))
+        .select(col("idx"), col("title"),
+          concat_ws(",", col("article_ids")).as("article_ids"),
+          concat_ws(",", transform(col("sections"), x => x.cast("string"))).as("sections"))
         .orderBy("idx")
     }),
 
@@ -310,13 +321,42 @@ object SparkEntry {
       OrderingOps.greedyOrder(s, withText).orderBy("cluster_id", "position")
     }),
 
-    // threshold calibration harness (SURVEY §2.5 A9)
-    "p_calibration" -> ((s, _) => {
-      val pages = PagesGen.generate(s, nDocs = 1500, nDomains = 50, seed = 42L)
-      Calibration.grid(s, Calibration.labeledPairsFromTruth(pages))
+    // threshold calibration harness (SURVEY §2.5 A9), oracle-exact over an
+    // events-derived labeled-pair table (the pages-truth variant is
+    // parity-tested in Ops2Spec)
+    "q_calibration_grid" -> ((s, dir) => {
+      val pairs = ld(s, dir, "events").select(
+        least(col("value") / 100.0, lit(1.0)).as("sim"),
+        when(col("event_type") === "click", 1).otherwise(0).as("label"))
+      Calibration.grid(s, pairs, Seq(0.70, 0.75, 0.80, 0.85, 0.90, 0.95))
         .select(col("threshold"), col("tp"), col("fp"), col("fn"),
           bp(col("f1"), 10000).as("f1_bp"))
         .orderBy("threshold")
+    }),
+
+    // smallest-free-id + max+1 batch-counter allocation (SURVEY §2.1 S10 +
+    // §2.6 W4) as one distributed plan — no driver-side id-set collect
+    "q_id_allocation" -> ((s, dir) => {
+      val ids = ld(s, dir, "orders").select(col("o_orderkey").cast("long").as("id"))
+      val existing = ids.filter(col("id") > 0)
+      val candidates = existing.select((col("id") + 1).as("cand"))
+        .union(s.range(1, 2).select(col("id").as("cand")))
+      val freeId = candidates
+        .join(existing, candidates("cand") === existing("id"), "left_anti")
+        .agg(min(col("cand")).as("smallest_free_id"))
+      val batch = ids.agg((max(col("id")) + 1).as("next_batch_id"))
+      freeId.crossJoin(batch)
+    }),
+
+    // per-phase usage rollup via GROUPING SETS (SURVEY §2.5 A7; reference
+    // per-phase usage aggregation, pipeline_setup.py:184-208)
+    "q_usage_rollup" -> ((s, dir) => {
+      ld(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(bp(col("value"), 100)).as("sum_value_c"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("phase"),
+          col("n"), col("sum_value_c"))
+        .orderBy("phase")
     }),
 
     // SimHash near-dup buckets (SURVEY §2.3): docs whose 64-bit SimHash
@@ -460,6 +500,52 @@ object SparkEntry {
     "q_recent_topn" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |), grams AS (
+        | SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        | FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+        | CAST(round((len(list_intersect(a.g, b.g)) * 1.0 /
+        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) * 10000) AS BIGINT) AS jaccard_bp
+        |FROM grams a, grams b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.g, b.g)) * 1.0 /
+        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.30
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_calibration_grid" ->
+      """WITH pairs AS (
+        | SELECT least(value/100.0, 1.0) AS sim,
+        |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS label
+        | FROM events
+        |), grid AS (SELECT CAST(unnest([0.70, 0.75, 0.80, 0.85, 0.90, 0.95]) AS DOUBLE) AS threshold),
+        |m AS (
+        | SELECT threshold,
+        |  CAST(sum(CASE WHEN sim >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN sim >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN sim < threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        | FROM pairs CROSS JOIN grid GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn,
+        | CAST(round(CASE WHEN tp = 0 THEN NULL ELSE
+        |   2.0 * (tp*1.0/(tp+fp)) * (tp*1.0/(tp+fn)) /
+        |   ((tp*1.0/(tp+fp)) + (tp*1.0/(tp+fn))) END * 10000) AS BIGINT) AS f1_bp
+        |FROM m ORDER BY threshold""".stripMargin,
+    "q_id_allocation" ->
+      """SELECT
+        | (SELECT min(cand) FROM (
+        |    SELECT o_orderkey + 1 AS cand FROM orders WHERE o_orderkey > 0
+        |    UNION SELECT 1) c
+        |  WHERE cand NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey > 0)
+        | ) AS smallest_free_id,
+        | (SELECT max(o_orderkey) + 1 FROM orders) AS next_batch_id""".stripMargin,
+    "q_usage_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS phase, count(*) AS n,
+        | CAST(sum(round(value*100)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY ROLLUP(event_type) ORDER BY phase""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

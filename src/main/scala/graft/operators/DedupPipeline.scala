@@ -14,12 +14,23 @@ import graft.functions.Fns
   * (20) are split into deterministic-order chunks — exactly the reference's
   * `group_similar` (`/root/reference/src/news_recap/recap/dedup/cluster.py:13-50`)
   * with the canonical document order pinned to (warc_ts desc, url asc), the
-  * retrieval order of `ingestion/repository.py:548`.
+  * retrieval order of `ingestion/repository.py:548`. Keepers carry the
+  * merged-away members' `{url, source}` lineage (`alt_urls`), mirroring
+  * `recap/tasks/deduplicate.py:436-455`.
   *
   * Scale design (this is the O(n²)→O(n) rewrite, SURVEY §2.4 J1):
+  *   0. exact-duplicate pre-collapse: byte-identical texts are grouped by a
+  *      128-bit content hash and only one representative enters the LSH
+  *      stage. A boilerplate family of B identical pages would otherwise
+  *      fill one LSH bucket and emit O(B²) candidate pairs; after collapse
+  *      it contributes exactly one row. Members fan back in after CC
+  *      (identical text ⇒ cosine 1.0 ⇒ same component — semantics identical).
   *   1. one pass per doc computes MinHash signature + SimHash + embedding
   *   2. LSH banding turns the all-pairs θ-join into an equi-self-join on
-  *      (band, bucket) — shuffle-partitioned, AQE-skew-handled
+  *      (band, bucket) — shuffle-partitioned, AQE-skew-handled. Buckets
+  *      hotter than `maxBucketSize` (near-identical-but-not-exact boilerplate
+  *      that survives step 0) are dropped before the join — the standard
+  *      web-scale df-cap; candidate loss is bounded and measured in tests.
   *   3. candidates are verified with the exact cosine predicate as a
   *      codegen'd column expression (no UDF in the join hot path)
   *   4. connected components via iterative min-label propagation
@@ -44,7 +55,29 @@ final case class DedupConfig(
       * rejecting ~9x the random-pair mass (random hamming ~ N(32, 4)).
       * Set < 0 to disable.
       */
-    simhashPregateMaxHamming: Int = 26)
+    simhashPregateMaxHamming: Int = 26,
+    /** Collapse byte-identical texts to one representative before LSH and
+      * fan members back into components after CC. Exact-duplicate semantics
+      * are unchanged (cosine of identical texts is 1.0); candidate volume
+      * for an identical family drops from O(B²) to 0.
+      */
+    exactPrecollapse: Boolean = true,
+    /** Drop (band, bucket) groups with more rows than this before the LSH
+      * self-join (document-frequency cap on bucket keys). Protects the join
+      * from near-identical boilerplate families that survive the exact
+      * pre-collapse. <= 0 disables. Recall impact: none until a true
+      * near-dup family exceeds the cap in a single band AND every other
+      * band of the pair is also capped/missed — measured 1.0 at defaults
+      * in DedupParitySpec.
+      */
+    maxBucketSize: Int = 10000,
+    /** Optional suffix-array longest-common-substring verification layer:
+      * a candidate pair must additionally share a common substring of at
+      * least this fraction of the shorter text (0 disables — the reference
+      * contract is cosine-only). Catches near-exact overlap/containment the
+      * bag-of-trigrams cosine can miss.
+      */
+    lcsMinRatio: Double = 0.0)
 
 object DedupPipeline {
 
@@ -56,36 +89,49 @@ object DedupPipeline {
   private def uidOf(url: Column): Column =
     struct(xxhash64(url).as("h1"), xxhash64(url, lit(0x9E3779B9L)).as("h2"))
 
+  /** 128-bit content hash for the exact pre-collapse grouping. */
+  private def chashOf(text: Column): Column =
+    struct(xxhash64(text).as("h1"), xxhash64(text, lit(0x5EED5EEDL)).as("h2"))
+
   /** Per-doc signatures: uid, url, warc_ts, nChars, minhash, simhash, vec.
     * One UDF pass for shingle-derived values + one for the embedding.
+    * `withText = true` additionally carries the raw text (needed only when
+    * the LCS verify layer is enabled).
     */
-  def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
-    pages
+  def signatures(pages: DataFrame, cfg: DedupConfig,
+                 withText: Boolean = false): DataFrame = {
+    val base = pages
       .select(col("url"), col("warc_ts"), col("text"))
       .withColumn("sig", Fns.signaturesUdf(cfg.shingleK, cfg.numHashes, cfg.seed)(col("text")))
       .withColumn("vec", Fns.embedUdf(col("text")))
-      .select(
-        uidOf(col("url")).as("uid"),
-        col("url"), col("warc_ts"),
-        length(col("text")).as("n_chars"),
-        col("sig.minhash").as("minhash"),
-        col("sig.simhash").as("simhash"),
-        col("sig.nShingles").as("n_shingles"),
-        col("vec"))
+    val cols = Seq(
+      uidOf(col("url")).as("uid"),
+      col("url"), col("warc_ts"),
+      length(col("text")).as("n_chars"),
+      col("sig.minhash").as("minhash"),
+      col("sig.simhash").as("simhash"),
+      col("sig.nShingles").as("n_shingles"),
+      col("vec")) ++ (if (withText) Seq(col("text")) else Nil)
+    base.select(cols: _*)
   }
 
-  /** Candidate pairs from LSH banding: (url_a, url_b, simhash_hamming) with
-    * url_a < url_b. The 8-byte SimHash rides along in the bucket rows so the
+  /** Candidate pairs from LSH banding: (uid_a, uid_b, simhash_hamming) with
+    * uid_a < uid_b. The 8-byte SimHash rides along in the bucket rows so the
     * hamming pre-gate runs inside this join — before any wide payload
     * (signature/embedding) is shuffled for a candidate that a cheap bit
-    * count can reject.
+    * count can reject. Hot buckets (> cfg.maxBucketSize rows) are dropped
+    * first — see [[SkewOps.capHotBuckets]].
     */
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val buckets = sigs
+    val buckets0 = sigs
       .filter(col("minhash").isNotNull)
       .select(col("uid"), col("simhash"),
         posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val buckets =
+      if (cfg.maxBucketSize > 0)
+        SkewOps.capHotBuckets(buckets0, Seq(col("band"), col("bucket")), cfg.maxBucketSize)
+      else buckets0
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     val joined = a.join(b,
@@ -104,19 +150,30 @@ object DedupPipeline {
   /** Verified duplicate edges: exact reference cosine >= threshold. Only the
     * embedding column is shuffled into this join (the hot path); pass
     * `diagnostics = true` to also carry MinHash signatures and emit the
-    * estimated-Jaccard column.
+    * estimated-Jaccard column. When `cfg.lcsMinRatio > 0`, `sigs` must have
+    * been built with `withText = true` and a suffix-array LCS gate runs
+    * after the cosine predicate.
     */
   def verifiedEdges(sigs: DataFrame, cand: DataFrame, cfg: DedupConfig,
                     diagnostics: Boolean = false): DataFrame = {
+    val lcs = cfg.lcsMinRatio > 0
     val lhsCols = Seq(col("uid").as("uid_a"), col("vec").as("vec_a")) ++
-      (if (diagnostics) Seq(col("url").as("url_a"), col("minhash").as("mh_a")) else Nil)
+      (if (diagnostics) Seq(col("url").as("url_a"), col("minhash").as("mh_a")) else Nil) ++
+      (if (lcs) Seq(col("text").as("text_a")) else Nil)
     val rhsCols = Seq(col("uid").as("uid_b"), col("vec").as("vec_b")) ++
-      (if (diagnostics) Seq(col("url").as("url_b"), col("minhash").as("mh_b")) else Nil)
-    val verified = cand
+      (if (diagnostics) Seq(col("url").as("url_b"), col("minhash").as("mh_b")) else Nil) ++
+      (if (lcs) Seq(col("text").as("text_b")) else Nil)
+    val cosVerified = cand
       .join(sigs.select(lhsCols: _*), "uid_a")
       .join(sigs.select(rhsCols: _*), "uid_b")
       .withColumn("cosine", Fns.cosineCol(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= cfg.threshold)
+    // LCS is the most expensive predicate (suffix-array build per pair), so
+    // it runs last, on cosine survivors only.
+    val verified =
+      if (lcs) cosVerified.filter(
+        Fns.lcsRatioUdf(col("text_a"), col("text_b")) >= cfg.lcsMinRatio)
+      else cosVerified
     val base = Seq(col("uid_a"), col("uid_b"), col("cosine"), col("simhash_hamming"))
     if (diagnostics)
       verified.select(base ++ Seq(col("url_a"), col("url_b"),
@@ -127,12 +184,52 @@ object DedupPipeline {
   /** Full run: pages -> cluster assignments.
     *
     * Output columns: url, warc_ts, n_chars, component (min url of the
-    * pre-split component), cluster_id (sha1 of component key + chunk index),
-    * cluster_size, is_keeper. Docs not in any cluster (singletons) are
-    * omitted — the reference returns only groups of >= 2.
+    * pre-split component), chunk, cluster_id (sha1 of component key + chunk
+    * index), cluster_size, is_keeper, alt_urls (keeper rows only: the
+    * merged-away members' {url, source} in canonical order — the
+    * reference's keeper lineage contract, `deduplicate.py:446-455`).
+    * Docs not in any cluster (singletons) are omitted — the reference
+    * returns only groups of >= 2.
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val sigs = signatures(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val projected = pages.select(col("url"), col("warc_ts"), col("text"))
+
+    // ---- stage 0: exact pre-collapse ---------------------------------
+    // groupBy(content hash) is skew-safe (map-side partial agg); the
+    // members join is AQE-broadcast when the duplicated-hash set is small
+    // (the common case in a deduplicated-feed corpus) and a plain shuffle
+    // join otherwise.
+    var keyed: DataFrame = null
+    val (reps, members) =
+      if (cfg.exactPrecollapse) {
+        keyed = projected.withColumn("chash", chashOf(col("text")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dupGroups = keyed.groupBy(col("chash"))
+          .agg(min(col("url")).as("rep_url"), count(lit(1)).as("grp_n"))
+          .filter(col("grp_n") >= 2)
+        val dupMembers = keyed.join(dupGroups, Seq("chash"))
+        val loneRows = keyed.join(dupGroups.select(col("chash")), Seq("chash"), "left_anti")
+        val repRows = loneRows.select(col("url"), col("warc_ts"), col("text"))
+          .union(dupMembers.filter(col("url") === col("rep_url"))
+            .select(col("url"), col("warc_ts"), col("text")))
+        // (url, warc_ts, n_chars, rep_uid, exact_grp_n) for every input row
+        val memberRows = loneRows.select(col("url"), col("warc_ts"),
+            length(col("text")).as("n_chars"),
+            uidOf(col("url")).as("rep_uid"), lit(1L).as("exact_grp_n"))
+          .union(dupMembers.select(col("url"), col("warc_ts"),
+            length(col("text")).as("n_chars"),
+            uidOf(col("rep_url")).as("rep_uid"), col("grp_n").as("exact_grp_n")))
+        (repRows, memberRows)
+      } else {
+        (projected,
+          projected.select(col("url"), col("warc_ts"),
+            length(col("text")).as("n_chars"),
+            uidOf(col("url")).as("rep_uid"), lit(1L).as("exact_grp_n")))
+      }
+
+    // ---- stages 1-4 over representatives ------------------------------
+    val sigs = signatures(reps, cfg, withText = cfg.lcsMinRatio > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(sigs, cfg)
     val edges = verifiedEdges(sigs, cand, cfg)
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
@@ -146,21 +243,35 @@ object DedupPipeline {
 
     val comps = ConnectedComponents.run(spark, vertices, edges)
 
-    val assigned = comps
-      .join(sigs.select(col("uid"), col("url"), col("warc_ts"), col("n_chars")),
-        comps("id") === col("uid"))
+    // ---- fan exact-dup members back in --------------------------------
+    // component(row) = CC component of its representative, or the rep uid
+    // itself when the rep has no near-dup edges but heads an exact-dup
+    // group of >= 2 (that group IS a component).
+    val assigned = members
+      .join(comps, members("rep_uid") === comps("id"), "left")
+      .withColumn("component",
+        coalesce(col("component"),
+          when(col("exact_grp_n") >= 2, col("rep_uid"))))
+      .filter(col("component").isNotNull)
       .select(col("url"), col("warc_ts"), col("n_chars"), col("component"))
 
-    val out = splitAndSelectKeepers(assigned, cfg)
+    // Materialize before releasing the caches: the returned frame is the
+    // small clustered subset, and callers (bench, checkpoint writer,
+    // downstream ordering) all consume it more than once.
+    val out = splitAndSelectKeepers(assigned, cfg).localCheckpoint(eager = true)
     edges.unpersist()
     sigs.unpersist()
+    if (keyed != null) keyed.unpersist()
     out
   }
 
   /** The reference's post-CC steps: drop <2 components, split >maxGroupSize
     * components into canonical-order chunks of <= maxGroupSize, drop <2
     * chunks, pick the keeper (max text length, earliest canonical order on
-    * ties — Python `max` keeps the first maximum).
+    * ties — Python `max` keeps the first maximum), accumulate the
+    * non-keepers' {url, source} onto the keeper as `alt_urls`
+    * (`deduplicate.py:446-455`; source = host, the Spark-side analog of the
+    * reference's feed source name).
     */
   def splitAndSelectKeepers(assigned: DataFrame, cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -176,14 +287,23 @@ object DedupPipeline {
 
     val chunkW = Window.partitionBy(col("component"), col("chunk"))
     val keeperW = chunkW.orderBy(col("n_chars").desc, col("rn").asc)
+    val chunkFull = chunkW.orderBy(col("rn").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     withRn
       .withColumn("cluster_size", count(lit(1)).over(chunkW))
       .filter(col("cluster_size") >= 2)
       .withColumn("is_keeper", row_number().over(keeperW) === 1)
-      .withColumn("cluster_id",
-        sha1(concat_ws("#", col("component_key"), col("chunk"))))
+      // every non-keeper's {url, source} in canonical order; kept on the
+      // keeper row only (null elsewhere) — collect_list drops the keeper's
+      // own null entry
+      .withColumn("alt_urls_all",
+        collect_list(when(!col("is_keeper"),
+          struct(col("url"), parse_url(col("url"), lit("HOST")).as("source"))))
+          .over(chunkFull))
+      .withColumn("alt_urls", when(col("is_keeper"), col("alt_urls_all")))
       .select(col("url"), col("warc_ts"), col("n_chars"),
         col("component_key").as("component"), col("chunk"),
-        col("cluster_id"), col("cluster_size"), col("is_keeper"))
+        sha1(concat_ws("#", col("component_key"), col("chunk"))).as("cluster_id"),
+        col("cluster_size"), col("is_keeper"), col("alt_urls"))
   }
 }

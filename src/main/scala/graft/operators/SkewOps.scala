@@ -6,31 +6,22 @@ import org.apache.spark.sql.functions._
 /** Explicit skew handling (SURVEY §4): Zipf-hot keys (domains, boilerplate
   * shingles) make single reducers the bottleneck at scale. Two tools:
   *
-  *   - `saltedAgg`: two-phase aggregation — partial per (key, salt) then
+  *   - `saltedAggBy`: two-phase aggregation — partial per (key, salt) then
   *     final per key. Identical results to a direct groupBy; the first
   *     shuffle spreads a hot key over `salts` reducers. (AQE mitigates
   *     skewed *joins* automatically; skewed *aggregations* still need the
-  *     salt.)
+  *     salt.) The salt derives from a deterministic column so task retries
+  *     re-salt identically — never from `rand()`.
   *   - `capHotBuckets`: drops LSH/shingle buckets whose row count exceeds a
   *     document-frequency cap (boilerplate-only collisions that would
   *     produce O(n²) candidate pairs while carrying no dedup signal).
   */
 object SkewOps {
 
-  /** Two-phase count+sum aggregation by `key`, salted over `salts` reducers.
-    * Returns (key, n, total) — bit-identical to the unsalted plan for
-    * integral sums.
-    */
-  def saltedAgg(df: DataFrame, key: Column, valueExpr: Column, salts: Int = 16): DataFrame = {
-    val partial = df
-      .groupBy(key.as("key"), pmod(xxhash64(rand(42) * 1e9), lit(salts)).as("salt"))
-      .agg(count(lit(1)).as("pn"), sum(valueExpr).as("pv"))
-    partial.groupBy(col("key"))
-      .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total"))
-  }
-
-  /** Salt derived from a deterministic column (preferred: keeps the plan
-    * deterministic row-for-row; use when a unique row key exists).
+  /** Two-phase count+sum aggregation by `key`, salted over `salts` reducers
+    * via a deterministic salt column (a unique row key). Bit-identical to
+    * the unsalted plan for integral sums, and deterministic under task
+    * retries (a `rand()`-based salt re-salts differently mid-stage).
     */
   def saltedAggBy(df: DataFrame, key: Column, saltSource: Column,
                   valueExpr: Column, salts: Int = 16): DataFrame = {
@@ -41,11 +32,22 @@ object SkewOps {
       .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total"))
   }
 
-  /** Drop groups of `bucketCol` with more than `maxDf` rows. */
-  def capHotBuckets(df: DataFrame, bucketCol: Column, maxDf: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("_df", count(lit(1)).over(Window.partitionBy(bucketCol)))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
+  /** Drop rows whose `bucketCols` group has more than `maxDf` rows.
+    *
+    * Skew-safe by construction: the group sizes come from a groupBy (whose
+    * partial aggregation collapses each map partition's contribution to a
+    * hot key before the shuffle — a window over the bucket key would
+    * instead sort the entire hot bucket in one task), and the hot-key set
+    * (at most totalRows/maxDf entries, tiny by definition) anti-joins back
+    * as an AQE broadcast.
+    */
+  def capHotBuckets(df: DataFrame, bucketCols: Seq[Column], maxDf: Long): DataFrame = {
+    val names = bucketCols.zipWithIndex.map { case (_, i) => s"_bk$i" }
+    val keyed = df.withColumns(names.zip(bucketCols).toMap)
+    val hot = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(names.map(col): _*)
+    keyed.join(hot, names, "left_anti").drop(names: _*)
   }
 }

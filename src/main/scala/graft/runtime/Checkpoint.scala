@@ -36,7 +36,8 @@ object Checkpoint {
       inputFingerprint: Long, status: String, startedAtMs: Long)
 
   def configHash(cfg: DedupConfig): String = {
-    val s = s"${cfg.shingleK}|${cfg.numHashes}|${cfg.bands}|${cfg.threshold}|${cfg.maxGroupSize}|${cfg.seed}"
+    val s = s"${cfg.shingleK}|${cfg.numHashes}|${cfg.bands}|${cfg.threshold}|${cfg.maxGroupSize}|${cfg.seed}|" +
+      s"${cfg.simhashPregateMaxHamming}|${cfg.exactPrecollapse}|${cfg.maxBucketSize}|${cfg.lcsMinRatio}"
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).take(8).map(b => f"${b & 0xff}%02x").mkString
   }
@@ -80,49 +81,259 @@ object Checkpoint {
     victims.map(_.getName.stripPrefix("day=")).toSeq.sorted
   }
 
+  // ------------------------------------------------------------------
+  // Single-writer lock + heartbeat (reference `ingestion/repository.py`:
+  // start_run refuses a second concurrent RUNNING run per source
+  // (:151-175), stale RUNNING runs are auto-failed (:126-149), touch_run
+  // heartbeats per page (:177-183)).
+  //
+  // The lock is a file created atomically (POSIX O_EXCL via
+  // Files.createFile) under <root>/locks/, keyed by (root, configHash):
+  // driver-side mutual exclusion, exactly the granularity the reference
+  // locks at. A lock whose heartbeat is older than `staleTtlMs` is reaped:
+  // a STALE_FAILED row is appended to <root>/runs and the lock replaced.
+  // (On an object store without atomic create, swap this for a
+  // conditional-put — the call sites don't change.)
+  // ------------------------------------------------------------------
+
+  final case class LockInfo(runId: String, acquiredAtMs: Long, heartbeatAtMs: Long)
+
+  private def lockPath(root: String, cfgHash: String) =
+    java.nio.file.Paths.get(s"$root/locks/$cfgHash.lock")
+
+  private def readLock(root: String, cfgHash: String): Option[LockInfo] = {
+    val p = lockPath(root, cfgHash)
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).split('|') match {
+      case Array(id, acq, hb) => Some(LockInfo(id, acq.toLong, hb.toLong))
+      case _ => None
+    }
+  }
+
+  private def writeLockContent(p: java.nio.file.Path, info: LockInfo): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"${info.runId}|${info.acquiredAtMs}|${info.heartbeatAtMs}")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Acquire the single-writer lock or throw. A stale lock (heartbeat older
+    * than `staleTtlMs`) is auto-failed first, mirroring the reference's
+    * stale-RUNNING recovery. Returns the new run id.
+    */
+  def acquireLock(spark: SparkSession, root: String, cfgHash: String,
+                  staleTtlMs: Long, nowMs: Long = System.currentTimeMillis()): String = {
+    val p = lockPath(root, cfgHash)
+    java.nio.file.Files.createDirectories(p.getParent)
+    readLock(root, cfgHash).foreach { held =>
+      if (nowMs - held.heartbeatAtMs <= staleTtlMs)
+        throw new IllegalStateException(
+          s"another run is already active for this root/config " +
+            s"(runId=${held.runId}, heartbeat ${nowMs - held.heartbeatAtMs} ms ago)")
+      // stale: auto-fail it (reference repository.py:126-149) and take over
+      appendRunRow(spark, root, held.runId, cfgHash, "STALE_FAILED",
+        held.acquiredAtMs, nowMs, "Auto-recovered stale running run after crash/interruption.")
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    val runId = java.util.UUID.randomUUID().toString
+    try java.nio.file.Files.createFile(p) // atomic: loses the race -> throws
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException("another run acquired the lock concurrently")
+    }
+    writeLockContent(p, LockInfo(runId, nowMs, nowMs))
+    appendRunRow(spark, root, runId, cfgHash, "RUNNING", nowMs, 0L, "")
+    runId
+  }
+
+  /** Per-partition liveness signal (reference touch_run). No-op if the lock
+    * was lost (a reaper took it) — the caller's next commit is still safe
+    * because output writes are idempotent per partition.
+    */
+  def heartbeat(root: String, cfgHash: String, runId: String,
+                nowMs: Long = System.currentTimeMillis()): Unit =
+    readLock(root, cfgHash).filter(_.runId == runId).foreach { held =>
+      writeLockContent(lockPath(root, cfgHash), held.copy(heartbeatAtMs = nowMs))
+    }
+
+  def releaseLock(spark: SparkSession, root: String, cfgHash: String, runId: String,
+                  status: String = "COMPLETED", error: String = ""): Unit =
+    readLock(root, cfgHash).filter(_.runId == runId).foreach { held =>
+      appendRunRow(spark, root, runId, cfgHash, status, held.acquiredAtMs,
+        System.currentTimeMillis(), error)
+      java.nio.file.Files.deleteIfExists(lockPath(root, cfgHash)): Unit
+    }
+
+  private def appendRunRow(spark: SparkSession, root: String, runId: String,
+                           cfgHash: String, status: String, startedAtMs: Long,
+                           finishedAtMs: Long, error: String): Unit = {
+    import spark.implicits._
+    Seq((runId, cfgHash, status, startedAtMs, finishedAtMs, error))
+      .toDF("runId", "configHash", "status", "startedAtMs", "finishedAtMs", "errorSummary")
+      .write.mode(SaveMode.Append).parquet(s"$root/runs")
+  }
+
+  /** Lifecycle rows of all runs (append-only; latest row per runId wins). */
+  def runs(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = new java.io.File(s"$root/runs")
+    if (!dir.exists()) return spark.emptyDataFrame
+    val w = Window.partitionBy(col("runId"))
+      .orderBy(col("finishedAtMs").desc, col("status").desc)
+    spark.read.parquet(dir.toString)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Gap / retry ledger (reference `fetch_service.py:43-62` seeds each run
+  // with open gaps first; `repository.py:371-404` records gaps with
+  // retry_after). A failed day partition appends an OPEN gap row with a
+  // retry-after timestamp; the next run drains eligible gap days before
+  // fresh days. A gap is implicitly resolved by the day's COMPLETED
+  // checkpoint (append-only tables, no rewrites).
+  // ------------------------------------------------------------------
+
+  def recordGap(spark: SparkSession, root: String, day: String, cfgHash: String,
+                error: String, retryAfterMs: Long): Unit = {
+    import spark.implicits._
+    Seq((day, cfgHash, error, retryAfterMs, System.currentTimeMillis()))
+      .toDF("day", "configHash", "errorSummary", "retryAfterMs", "createdAtMs")
+      .write.mode(SaveMode.Append).parquet(s"$root/gaps")
+  }
+
+  /** Open gap days for this config, retry-eligible at `nowMs`, oldest first.
+    * Open = has a gap row and no COMPLETED checkpoint; eligibility uses the
+    * LATEST gap row's retryAfterMs (later failures push the retry out).
+    */
+  def openGapDays(spark: SparkSession, root: String, cfgHash: String,
+                  nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val dir = new java.io.File(s"$root/gaps")
+    if (!dir.exists()) return Seq.empty
+    val done = completedDays(spark, root, cfgHash)
+    spark.read.parquet(dir.toString)
+      .filter(col("configHash") === cfgHash)
+      .groupBy(col("day"))
+      .agg(max_by(col("retryAfterMs"), col("createdAtMs")).as("retryAfterMs"))
+      .filter(col("retryAfterMs") <= nowMs)
+      .select("day").collect().map(_.getString(0))
+      .filterNot(done).sorted.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Bookkeeping allocators + usage rollup
+  // ------------------------------------------------------------------
+
+  /** Smallest positive id not present (reference digest-index allocation,
+    * `recap/pipeline_setup.py:48-71`, which scans for the first free slot).
+    * Distributed: candidates = {1} ∪ {id+1} anti-joined against existing
+    * ids, take the min — no collect of the id set.
+    */
+  def smallestFreeId(ids: DataFrame, idCol: String): Long = {
+    val existing = ids.select(col(idCol).cast("long").as("id")).filter(col("id") > 0)
+    val candidates = existing.select((col("id") + 1).as("cand"))
+      .union(ids.sparkSession.range(1, 2).select(col("id").as("cand")))
+    val free = candidates.join(existing, candidates("cand") === existing("id"), "left_anti")
+      .agg(min(col("cand"))).first()
+    if (free.isNullAt(0)) 1L else free.getLong(0)
+  }
+
+  /** Next batch id = max + 1 (reference `recap/storage/workdir.py:80-94`). */
+  def nextBatchId(ids: DataFrame, idCol: String): Long = {
+    val r = ids.agg(max(col(idCol).cast("long"))).first()
+    if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+  }
+
+  /** Per-config usage rollup over the metrics table (reference per-phase
+    * usage aggregation, `recap/pipeline_setup.py:184-208`).
+    */
+  def usageRollup(spark: SparkSession, root: String): DataFrame = {
+    spark.read.parquet(s"$root/metrics")
+      .groupBy(col("configHash"), col("status"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum(col("nDocsIn")).as("docs_in"),
+        sum(col("nClustered")).as("docs_clustered"),
+        sum(col("nClusters")).as("clusters"),
+        sum(col("nDuplicatesRemoved")).as("duplicates_removed"),
+        sum(col("elapsedMs")).as("elapsed_ms"))
+  }
+
   /** Process every day partition of `pages` not yet checkpointed; returns
-    * the list of days processed this run. `failAfter` injects a crash after
-    * N partitions (test hook for the kill/rerun fixture).
+    * the list of days processed this run.
+    *
+    * Ordering: retry-eligible gap days first (oldest first), then fresh
+    * days — the reference's backfill-before-fresh drain order.
+    *
+    * `lockTtlMs > 0` enables the single-writer lock with that staleness
+    * TTL. `failAfter` injects a hard crash after N partitions (kill/rerun
+    * fixture — no gap row, lock left dangling, exactly like a real crash).
+    * `failDays` injects a per-day processing failure that exercises the
+    * soft path: gap row recorded, remaining days continue.
     */
   def runIncremental(spark: SparkSession, pages: DataFrame, root: String,
                      cfg: DedupConfig = DedupConfig(),
-                     failAfter: Int = Int.MaxValue): Seq[String] = {
+                     failAfter: Int = Int.MaxValue,
+                     lockTtlMs: Long = 0L,
+                     retryBackoffMs: Long = 0L,
+                     failDays: Set[String] = Set.empty): Seq[String] = {
     val cfgHash = configHash(cfg)
-    val withDay = pages.withColumn("day", Fns.dayKey(col("warc_ts")))
-    val allDays = withDay.select("day").distinct().collect().map(_.getString(0)).sorted
-    val done = completedDays(spark, root, cfgHash)
-    val todo = allDays.filterNot(done)
+    val runId =
+      if (lockTtlMs > 0) acquireLock(spark, root, cfgHash, lockTtlMs) else ""
 
-    var processed = 0
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    todo.foreach { day =>
-      if (processed >= failAfter)
-        throw new RuntimeException(s"injected failure before partition $day")
-      val t0 = System.currentTimeMillis()
-      val dayPages = withDay.filter(col("day") === day).drop("day")
-      val nIn = dayPages.count()
-      // lineage: order-insensitive fingerprint of the partition's input keys
-      // (bit_xor, not sum — overflow-free under ANSI mode)
-      val fp = dayPages.agg(expr("bit_xor(xxhash64(url, warc_ts))"))
-        .first().getLong(0)
-      val clusters = DedupPipeline.run(spark, dayPages, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nClustered = clusters.count()
-      val nClusters = clusters.select("cluster_id").distinct().count()
-      clusters.write.mode(SaveMode.Overwrite).parquet(s"$root/output/day=$day")
-      clusters.unpersist()
-      val m = RunMetrics(day, cfgHash, nIn, nClustered, nClusters,
-        nClustered - nClusters, System.currentTimeMillis() - t0, fp,
-        "COMPLETED", t0)
-      import spark.implicits._
-      Seq(m).toDF().write.mode(SaveMode.Append).parquet(s"$root/metrics")
-      // checkpoint row LAST — commit point of the partition
-      Seq((day, cfgHash, "COMPLETED", System.currentTimeMillis()))
-        .toDF("day", "configHash", "status", "committedAtMs")
-        .write.mode(SaveMode.Append).parquet(s"$root/checkpoints")
-      processed += 1
-      out += day
+    try {
+      val withDay = pages.withColumn("day", Fns.dayKey(col("warc_ts")))
+      val allDays = withDay.select("day").distinct().collect().map(_.getString(0)).sorted
+      val done = completedDays(spark, root, cfgHash)
+      val gapDays = openGapDays(spark, root, cfgHash).filter(allDays.contains)
+      val fresh = allDays.filterNot(done).filterNot(gapDays.contains)
+      val todo = (gapDays ++ fresh).distinct
+
+      var processed = 0
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      todo.foreach { day =>
+        if (processed >= failAfter)
+          throw new RuntimeException(s"injected failure before partition $day")
+        val t0 = System.currentTimeMillis()
+        try {
+          if (failDays.contains(day))
+            throw new RuntimeException(s"injected day failure for $day")
+          val dayPages = withDay.filter(col("day") === day).drop("day")
+          val nIn = dayPages.count()
+          // lineage: order-insensitive fingerprint of the partition's input
+          // keys (bit_xor, not sum — overflow-free under ANSI mode)
+          val fp = dayPages.agg(expr("bit_xor(xxhash64(url, warc_ts))"))
+            .first().getLong(0)
+          val clusters = DedupPipeline.run(spark, dayPages, cfg)
+          val nClustered = clusters.count()
+          val nClusters = clusters.select("cluster_id").distinct().count()
+          clusters.write.mode(SaveMode.Overwrite).parquet(s"$root/output/day=$day")
+          val m = RunMetrics(day, cfgHash, nIn, nClustered, nClusters,
+            nClustered - nClusters, System.currentTimeMillis() - t0, fp,
+            "COMPLETED", t0)
+          import spark.implicits._
+          Seq(m).toDF().write.mode(SaveMode.Append).parquet(s"$root/metrics")
+          // checkpoint row LAST — commit point of the partition
+          Seq((day, cfgHash, "COMPLETED", System.currentTimeMillis()))
+            .toDF("day", "configHash", "status", "committedAtMs")
+            .write.mode(SaveMode.Append).parquet(s"$root/checkpoints")
+          out += day
+        } catch {
+          case e: Exception =>
+            // soft failure: ledger the day with a retry-after and continue
+            recordGap(spark, root, day, cfgHash, e.getMessage,
+              System.currentTimeMillis() + retryBackoffMs)
+        }
+        if (runId.nonEmpty) heartbeat(root, cfgHash, runId)
+        processed += 1
+      }
+      if (runId.nonEmpty) releaseLock(spark, root, cfgHash, runId)
+      out.toSeq
+    } catch {
+      case e: Throwable =>
+        // hard abort: mark FAILED if we still hold the lock, then rethrow.
+        // (A real kill -9 skips this — that's what the stale TTL reaps.)
+        if (runId.nonEmpty)
+          releaseLock(spark, root, cfgHash, runId, "FAILED", String.valueOf(e.getMessage))
+        throw e
     }
-    out.toSeq
   }
 }

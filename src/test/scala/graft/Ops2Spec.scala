@@ -27,7 +27,7 @@ class Ops2Spec extends AnyFunSuite {
   test("capHotBuckets drops only over-df groups") {
     import spark.implicits._
     val df = (Seq.fill(50)("hot") ++ Seq("a", "a", "b")).toDF("k")
-    val kept = SkewOps.capHotBuckets(df, col("k"), 10).collect().map(_.getString(0))
+    val kept = SkewOps.capHotBuckets(df, Seq(col("k")), 10).collect().map(_.getString(0))
     assert(kept.sorted.sameElements(Array("a", "a", "b")))
   }
 
