@@ -23,6 +23,8 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// dev hook: extra JVM flags for forked runs (e.g. SPARK_EXTRA_JVM="-Xlog:gc")
+javaOptions ++= sys.env.get("SPARK_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

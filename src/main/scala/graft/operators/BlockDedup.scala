@@ -98,6 +98,7 @@ object BlockDedup {
           .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
         cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // materialize before the multi-consumer fan-out (see DedupPipeline.run)
     val edges = DedupPipeline.verifiedEdges(sigs, DedupPipeline.candidates(sigs, cfg), cfg)
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
     val vertices = edges.select(col("src").as("id"))

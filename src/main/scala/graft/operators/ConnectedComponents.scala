@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,13 +15,17 @@ import org.apache.spark.storage.StorageLevel
   * near-cliques (verified-pair subgraphs of near-identical docs), so this is
   * 2-3 rounds in practice.
   *
-  * Cost model: ONE Spark job per round. The convergence signal (count of
-  * vertices whose label shrank) is computed inside the same pass via
-  * `Dataset.observe` — the old label rides the union as a second column and
-  * an observed aggregate compares it against the new min, so no separate
-  * fingerprint/change job ever scans the labels. `localCheckpoint` both
-  * materializes the round (triggering the observed metrics) and truncates
-  * lineage so plan size stays constant across rounds.
+  * Cost model: two jobs per round, both cheap. Job 1 is the round itself
+  * (join + groupBy, materialized by `localCheckpoint` which also truncates
+  * lineage so plan size stays constant). The vertex's previous label rides
+  * the aggregation as a second min(), so job 2 — the convergence check — is
+  * a `limit(1)` existence scan of the already-checkpointed round: it
+  * early-exits at the first changed vertex and touches only in-memory
+  * blocks. (A `Dataset.observe`-based single-job variant was measured and
+  * rejected: observed metrics arrive via the async listener bus, and under
+  * high-parallelism AQE load the completion event can be delayed/dropped —
+  * each round then stalls on a timeout, turning CC into the pipeline's
+  * scaling bottleneck.)
   *
   * @param edges DataFrame with columns (src, dst) — one row per undirected
   *              edge, either direction.
@@ -31,23 +35,6 @@ import org.apache.spark.storage.StorageLevel
   *         component under the key's natural ordering.
   */
 object ConnectedComponents {
-
-  /** Observed metric value after its query's action completed. The metric is
-    * delivered via an async listener; the bounded wait covers listener lag
-    * without risking a hang if the action type never reports (callers keep a
-    * computed fallback).
-    */
-  private[operators] def observedLong(obs: Observation, key: String): Option[Long] = {
-    import scala.concurrent.Await
-    import scala.concurrent.duration._
-    try {
-      Await.result(obs.future, 30.seconds).getAs[Any](key) match {
-        case n: java.lang.Long => Some(n.longValue())
-        case n: java.lang.Integer => Some(n.longValue())
-        case _ => None
-      }
-    } catch { case _: java.util.concurrent.TimeoutException => None }
-  }
 
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
           maxIterations: Int = 50, verbose: Boolean = false): DataFrame = {
@@ -60,37 +47,37 @@ object ConnectedComponents {
     var labels = vertices.select(col("id"), col("id").as("component"))
     var iter = 0
     var converged = false
-    var prev: DataFrame = null
+    var prevChk: DataFrame = null
     while (!converged && iter < maxIterations) {
       // neighbor labels flow along edges; vertex keeps min(self, neighbors).
-      // `own` marks the vertex's current label so the observed aggregate can
-      // count label changes in the same pass.
+      // `own` marks the vertex's current label so the same aggregation also
+      // yields the previous label for the convergence check.
       val msgs = sym
         .join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("component"), lit(false).as("own"))
-      val merged = labels.select(col("id"), col("component"), lit(true).as("own"))
+      val t0 = System.nanoTime()
+      val next = labels.select(col("id"), col("component"), lit(true).as("own"))
         .union(msgs)
         .groupBy("id")
         .agg(min(col("component")).as("component"),
           min(when(col("own"), col("component"))).as("prev_component"))
-      val obs = Observation()
-      val next = merged
-        .observe(obs, sum(when(col("component") =!= col("prev_component"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select(col("id"), col("component"))
-        .localCheckpoint(eager = true) // the round's single job
-      val changed = observedLong(obs, "changed").getOrElse {
-        // listener raced or metric missing: one cheap scan of the
-        // already-materialized round as fallback
-        next.join(labels, Seq("id"))
-          .filter(next("component") =!= labels("component")).limit(1).count()
-      }
-      if (prev != null) prev.unpersist()
-      prev = next
-      labels = next
-      converged = changed == 0L
+        .localCheckpoint(eager = true) // job 1: the round
+      val t1 = System.nanoTime()
+      // job 2: early-exit existence scan over the in-memory checkpoint.
+      // Skipped on round 1 — any non-empty edge set changes a label there
+      // (the greater endpoint of some edge adopts the smaller label), so
+      // the check can only say "changed"; an empty input just pays one
+      // extra (empty) round.
+      val changed = iter == 0 ||
+        next.filter(col("component") =!= col("prev_component"))
+          .limit(1).count() > 0
+      val t2 = System.nanoTime()
+      if (prevChk != null) prevChk.unpersist()
+      prevChk = next
+      labels = next.select(col("id"), col("component"))
+      converged = !changed
       iter += 1
-      if (verbose) println(s"[cc] iteration $iter changed=$changed")
+      if (verbose) println(f"[cc] iteration $iter changed=$changed round=${(t1 - t0) / 1e9}%.2fs check=${(t2 - t1) / 1e9}%.2fs")
     }
     sym.unpersist()
     labels

@@ -63,14 +63,26 @@ final case class DedupConfig(
       */
     exactPrecollapse: Boolean = true,
     /** Drop (band, bucket) groups with more rows than this before the LSH
-      * self-join (document-frequency cap on bucket keys). Protects the join
-      * from near-identical boilerplate families that survive the exact
-      * pre-collapse. <= 0 disables. Recall impact: none until a true
-      * near-dup family exceeds the cap in a single band AND every other
-      * band of the pair is also capped/missed — measured 1.0 at defaults
-      * in DedupParitySpec.
+      * self-join (document-frequency cap on bucket keys). <= 0 disables.
+      *
+      * Why it must be tight: buckets that collect documents merely sharing
+      * the corpus's most-common shingles (which pin the same OPH slot
+      * minima) grow LINEARLY with corpus size, so their join output grows
+      * QUADRATICALLY — measured on the synthetic corpus: pre-gate pair
+      * mass 9.6M at 100k docs -> 27.8M at 2x the docs (2.9x), top bucket
+      * 478 -> 1003, with true families capped at 32 docs throughout. Those
+      * oversized buckets are pure cross-family noise (the hamming gate
+      * rejects their pairs — after the join already paid for them).
+      *
+      * Recall: a true near-dup family only loses edges when EVERY band's
+      * bucket exceeds the cap; families an order of magnitude below the
+      * cap (the golden corpora: <= 32) are untouched — recall stays 1.0 in
+      * DedupParitySpec/PagesGenSpec. Families of hundreds of near-identical
+      * (non-exact) pages are boilerplate at web scale and are the standard
+      * df-cap sacrifice; byte-identical families of any size are safe via
+      * the exact pre-collapse.
       */
-    maxBucketSize: Int = 10000,
+    maxBucketSize: Int = 200,
     /** Optional suffix-array longest-common-substring verification layer:
       * a candidate pair must additionally share a common substring of at
       * least this fraction of the shorter text (0 disables — the reference
@@ -228,12 +240,25 @@ object DedupPipeline {
       }
 
     // ---- stages 1-4 over representatives ------------------------------
+    // Multi-consumer caches are materialized EAGERLY (one narrow job each)
+    // before their fan-out. Left lazy, the consumers' stages run
+    // concurrently inside one job and race to compute the same uncached
+    // partitions — Spark's block-level getOrElseUpdate lets every racer
+    // recompute the partition (only one stores it), so the expensive UDF
+    // work is duplicated roughly once per concurrent consumer. The
+    // duplication grows with task slots: measured 2.6 core-ms/doc at
+    // local[4] vs 23 core-ms/doc at local[16] on the same corpus before
+    // this fix — the scaling-efficiency killer.
+    // (keyed's three consumers race too, but its recompute is one cheap
+    // hash pass — not worth a barrier; sigs and edges carry UDF work.)
     val sigs = signatures(reps, cfg, withText = cfg.lcsMinRatio > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     val cand = candidates(sigs, cfg)
     val edges = verifiedEdges(sigs, cand, cfg)
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
 
     // Only vertices that appear in at least one edge can be in a >=2
     // component; everything else is a singleton and drops out — keeps the

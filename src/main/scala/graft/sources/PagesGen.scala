@@ -53,7 +53,13 @@ object PagesGen {
   private def vocabRu(i: Int): String = mkWord(RuAlpha, i + 100000)
   private def vocabSr(i: Int): String = mkWord(SrAlpha, i + 200000)
 
-  private val VocabSize = 2000
+  // 20k words per language: enough shingle diversity that unrelated docs
+  // collide in LSH band buckets about as rarely as real web text does. A
+  // 2k vocab saturates the 3-gram space and manufactures mega-buckets of
+  // unrelated docs whose pair mass grows quadratically with corpus size —
+  // an artifact real Common-Crawl shingle distributions don't have (the
+  // capHotBuckets layer still guards the real-world analog: boilerplate).
+  private val VocabSize = 20000
 
   /** xorshift-ish deterministic stream from a seed; pure, allocation-free. */
   private final class Rng(seed0: Long) {
