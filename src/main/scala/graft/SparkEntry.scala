@@ -197,6 +197,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // corpus x corpus approximate k-NN via the LSH bucket self-join
+    // (rows-only; planted-twin recall tested in Round2Spec)
+    "e_ann_self" -> ((s, dir) =>
+      Ann.selfTopK(ld(s, dir, "embeddings"), k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")),
+
     // LSH-bucketed ANN (scale path; rows-only, recall-tested in AnnSpec)
     "e_ann_topk" -> ((s, dir) => {
       val emb = ld(s, dir, "embeddings")

@@ -81,4 +81,37 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Corpus x corpus approximate k-NN (every document is a query — the
+    * all-pairs scale path, e.g. embedding-space near-dup mining over a
+    * whole crawl). Same hyperplane-LSH bucketing as [[lshTopK]] but as a
+    * bucket SELF-join: no broadcast side, shuffle keyed on the bucket, so
+    * it partitions like the MinHash-LSH dedup join and inherits the same
+    * skew defense — buckets above `maxBucketSize` (embedding-space
+    * boilerplate clusters) are df-capped before the join.
+    */
+  def selfTopK(corpus: DataFrame, k: Int,
+               bitsPerTable: Int = 12, nTables: Int = 8, seed: Long = 42L,
+               maxBucketSize: Long = 2000,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
+    val bucketed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(bucketsOf(col(vecCol))).as("bucket"))
+    val bucketed =
+      if (maxBucketSize > 0) SkewOps.capHotBuckets(bucketed0, Seq(col("bucket")), maxBucketSize)
+      else bucketed0
+    val cand = bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("a.vec").as("qvec"),
+        col("b.id").as("neighbor_id"), col("b.vec").as("nvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cosine", Fns.cosineCol(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 }

@@ -350,6 +350,32 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("ANN corpus self-top-k finds planted twins with the bucket self-join") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // plant a noisy twin of each of the first 25 vectors INTO the corpus
+    val planted = emb.filter(col("vec_id") < 25).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val rnd = new scala.util.Random(r.getLong(0) + 7)
+      val noisy = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+      (r.getLong(0) + 1000000L, noisy.map(_ / n))
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(planted.toSeq.toDF("vec_id", "embedding"))
+    val top1 = graft.operators.Ann.selfTopK(corpus, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted twin's nearest neighbor is its source, and vice versa
+    val hitsTwin = planted.count(p => top1.get(p._1).contains(p._1 - 1000000L))
+    val hitsSrc = planted.count(p => top1.get(p._1 - 1000000L).contains(p._1))
+    info(s"self-top-k twin recall: $hitsTwin/25 forward, $hitsSrc/25 back")
+    assert(hitsTwin >= 22 && hitsSrc >= 22)
+    // every corpus doc that appears got a rank-1 row at most once
+    assert(top1.size <= corpus.count())
+  }
+
   test("usage rollup aggregates the metrics table per config") {
     val root = freshRoot()
     val pg = PagesGen.generate(spark, 300, nDomains = 10, nDays = 2, seed = 3L)
