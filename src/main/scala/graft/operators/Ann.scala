@@ -57,22 +57,42 @@ object Ann {
     }
   }
 
+  /** Candidate (query_id, neighbor_id) pairs for [[lshTopK]]. The corpus
+    * bucket rows carry ONLY (id, bucket) — the embedding does NOT ride the
+    * nTables-way explosion (at 10^10 docs that is ~terabytes of avoidable
+    * shuffle; same design as the dedup join, which shuffles an 8-byte
+    * SimHash and joins the wide payload back post-gate). Vectors re-join
+    * on the deduplicated candidate set only.
+    */
+  private[graft] def lshCandidateIds(corpus: DataFrame, queries: DataFrame,
+                                     bitsPerTable: Int, nTables: Int, seed: Long,
+                                     idCol: String, vecCol: String): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
+    val cB = corpus.select(col(idCol).as("neighbor_id"),
+      explode(bucketsOf(col(vecCol))).as("bucket"))
+    val qB = broadcast(queries.select(col(idCol).as("query_id"),
+      explode(bucketsOf(col(vecCol))).as("bucket")))
+    qB.join(cB, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** LSH ANN: candidates share a bucket in >= 1 of nTables tables; exact
-    * cosine re-rank of candidates only.
+    * cosine re-rank of candidates only. Embeddings join back onto the
+    * deduplicated candidate pairs (query side broadcast), never through
+    * the bucket explosion.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bitsPerTable: Int = 12, nTables: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
-    val cB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      explode(bucketsOf(col(vecCol))).as("bucket"))
-    val qB = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(bucketsOf(col(vecCol))).as("bucket")))
-    val cand = qB.join(cB, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "nvec")
-      .dropDuplicates("query_id", "neighbor_id")
+    val candIds = lshCandidateIds(corpus, queries, bitsPerTable, nTables, seed, idCol, vecCol)
+    val cand = candIds
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+        Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand
@@ -94,18 +114,14 @@ object Ann {
                bitsPerTable: Int = 12, nTables: Int = 8, seed: Long = 42L,
                maxBucketSize: Long = 2000,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
-    val bucketed0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(bucketsOf(col(vecCol))).as("bucket"))
-    val bucketed =
-      if (maxBucketSize > 0) SkewOps.capHotBuckets(bucketed0, Seq(col("bucket")), maxBucketSize)
-      else bucketed0
-    val cand = bucketed.alias("a").join(bucketed.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("a.vec").as("qvec"),
-        col("b.id").as("neighbor_id"), col("b.vec").as("nvec"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val candIds = selfCandidateIds(corpus, bitsPerTable, nTables, seed,
+      maxBucketSize, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = candIds
+      .join(vecs.withColumnsRenamed(Map("id" -> "query_id", "vec" -> "qvec")),
+        Seq("query_id"))
+      .join(vecs.withColumnsRenamed(Map("id" -> "neighbor_id", "vec" -> "nvec")),
+        Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand
@@ -113,5 +129,28 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Candidate pairs for [[selfTopK]]: bucket rows carry ONLY (id, bucket)
+    * — each ~1.5 KB embedding would otherwise be shuffled nTables times
+    * through the explosion (~terabytes at crawl scale). Embeddings join
+    * back onto the deduplicated candidate pairs: O(candidates + corpus)
+    * shuffle instead of O(corpus x nTables) x vector width.
+    */
+  private[graft] def selfCandidateIds(corpus: DataFrame,
+                                      bitsPerTable: Int, nTables: Int, seed: Long,
+                                      maxBucketSize: Long,
+                                      idCol: String, vecCol: String): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val bucketsOf = hyperplaneBuckets(dim, bitsPerTable, nTables, seed)
+    val bucketed0 = corpus.select(col(idCol).as("id"),
+      explode(bucketsOf(col(vecCol))).as("bucket"))
+    val bucketed =
+      if (maxBucketSize > 0) SkewOps.capHotBuckets(bucketed0, Seq(col("bucket")), maxBucketSize)
+      else bucketed0
+    bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
   }
 }

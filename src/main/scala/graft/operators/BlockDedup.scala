@@ -143,10 +143,10 @@ object BlockDedup {
     val finalWinners = m3.filter(col("idx") === col("winner"))
       .select(col("idx"), col("merged_ids"))
 
-    // dense new indices in old order (reference: sorted final winner idx)
-    import org.apache.spark.sql.expressions.Window
-    val renumbered = finalWinners
-      .withColumn("new_idx", row_number().over(Window.orderBy(col("idx"))) - 1)
+    // dense new indices in old order (reference: sorted final winner idx).
+    // Two-pass range-partitioned zipWithIndex — an unpartitioned
+    // row_number window would funnel every final block through one task.
+    val renumbered = SkewOps.globalDenseIndex(finalWinners, col("idx"), "new_idx")
 
     val dedupedBlocks = blocks.join(renumbered, Seq("idx"))
       .select(col("new_idx").as("idx"), col("title"),

@@ -68,8 +68,12 @@ object ConnectedComponents {
       // (the greater endpoint of some edge adopts the smaller label), so
       // the check can only say "changed"; an empty input just pays one
       // extra (empty) round.
+      // null-safe comparison: an id that appears only in `edges` (not in
+      // `vertices`) has a null prev_component on its first appearance; a
+      // plain =!= evaluates to null there and the filter would drop the
+      // row — declaring convergence while labels still propagate.
       val changed = iter == 0 ||
-        next.filter(col("component") =!= col("prev_component"))
+        next.filter(!(col("component") <=> col("prev_component")))
           .limit(1).count() > 0
       val t2 = System.nanoTime()
       if (prevChk != null) prevChk.unpersist()

@@ -32,6 +32,33 @@ object SkewOps {
       .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total"))
   }
 
+  /** Dense 0-based index by a global sort order WITHOUT an unpartitioned
+    * window (which funnels every row through one task). Two-pass
+    * `zipWithIndex` scheme: range-partition by the order column, count rows
+    * per partition (a P-row metadata collect, exactly what
+    * `RDD.zipWithIndex` does), then `row_number` within each partition plus
+    * its partitions-before offset. The only per-row window is partitioned
+    * by `spark_partition_id`, whose groups are the (balanced) range
+    * partitions themselves.
+    */
+  def globalDenseIndex(df: DataFrame, order: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withPid = df.repartitionByRange(order)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .persist()
+    val counts = withPid.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_pid")).collect() // P rows of metadata, not data
+    var acc = 0L
+    val offsets = counts.map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
+    val offsetsDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("_pid", "_offset"))
+    withPid.join(offsetsDf, "_pid")
+      .withColumn(outCol,
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(order))
+          + col("_offset") - 1)
+      .drop("_pid", "_offset")
+  }
+
   /** Drop rows whose `bucketCols` group has more than `maxDf` rows.
     *
     * Skew-safe by construction: the group sizes come from a groupBy (whose

@@ -131,10 +131,39 @@ object Checkpoint {
         throw new IllegalStateException(
           s"another run is already active for this root/config " +
             s"(runId=${held.runId}, heartbeat ${nowMs - held.heartbeatAtMs} ms ago)")
-      // stale: auto-fail it (reference repository.py:126-149) and take over
-      appendRunRow(spark, root, held.runId, cfgHash, "STALE_FAILED",
-        held.acquiredAtMs, nowMs, "Auto-recovered stale running run after crash/interruption.")
-      java.nio.file.Files.deleteIfExists(p): Unit
+      // stale: reap ATOMICALLY — move the lock file aside to a unique reap
+      // name first. ATOMIC_MOVE guarantees exactly one of N concurrent
+      // reapers wins the move; a plain delete+create lets reaper B delete
+      // the lock reaper A just created (TOCTOU double-writer). Only the
+      // winner appends STALE_FAILED (reference repository.py:126-149).
+      val reaped = p.resolveSibling(
+        s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
+      try {
+        java.nio.file.Files.move(p, reaped,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // verify we moved the lock we READ — if the content changed, a
+        // concurrent winner already reaped + recreated it and we just stole
+        // a FRESH lock; put it back and refuse.
+        val moved = java.nio.file.Files.readString(reaped)
+        if (moved != s"${held.runId}|${held.acquiredAtMs}|${held.heartbeatAtMs}") {
+          try java.nio.file.Files.move(reaped, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            // a third acquirer created a new lock meanwhile; the stolen
+            // lock's owner no-ops its heartbeats/release (runId check) and
+            // its writes stay idempotent per partition
+            java.nio.file.Files.deleteIfExists(reaped): Unit
+          }
+          throw new IllegalStateException(
+            "lock changed during stale reap; another run is active")
+        }
+        appendRunRow(spark, root, held.runId, cfgHash, "STALE_FAILED",
+          held.acquiredAtMs, nowMs, "Auto-recovered stale running run after crash/interruption.")
+        java.nio.file.Files.deleteIfExists(reaped): Unit
+      } catch {
+        case _: java.nio.file.NoSuchFileException => // another reaper won; fall
+        // through to createFile, which decides the new owner atomically
+      }
     }
     val runId = java.util.UUID.randomUUID().toString
     try java.nio.file.Files.createFile(p) // atomic: loses the race -> throws
@@ -168,9 +197,29 @@ object Checkpoint {
                            cfgHash: String, status: String, startedAtMs: Long,
                            finishedAtMs: Long, error: String): Unit = {
     import spark.implicits._
+    // The runs table is appended OUTSIDE the single-writer lock (it records
+    // the lock contention itself), so concurrent appends must be safe. The
+    // Hadoop committer is not: two simultaneous appends share
+    // <dir>/_temporary/0 and one job deletes it under the other. Write to a
+    // unique scratch dir instead and MOVE the part files in (rename is
+    // atomic; readers see whole files only).
+    val dir = java.nio.file.Paths.get(root, "runs")
+    val tmp = java.nio.file.Paths.get(root, s".runs-tmp-${java.util.UUID.randomUUID()}")
     Seq((runId, cfgHash, status, startedAtMs, finishedAtMs, error))
       .toDF("runId", "configHash", "status", "startedAtMs", "finishedAtMs", "errorSummary")
-      .write.mode(SaveMode.Append).parquet(s"$root/runs")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(dir)
+    val parts = java.nio.file.Files.list(tmp).iterator()
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.move(p, dir.resolve(
+          s"part-${java.util.UUID.randomUUID()}.parquet")): Unit
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    rm(tmp.toFile)
   }
 
   /** Lifecycle rows of all runs (append-only; latest row per runId wins). */
@@ -201,12 +250,12 @@ object Checkpoint {
       .write.mode(SaveMode.Append).parquet(s"$root/gaps")
   }
 
-  /** Open gap days for this config, retry-eligible at `nowMs`, oldest first.
-    * Open = has a gap row and no COMPLETED checkpoint; eligibility uses the
-    * LATEST gap row's retryAfterMs (later failures push the retry out).
+  /** Open gap days with their effective retry time: has a gap row, no
+    * COMPLETED checkpoint; the LATEST gap row's retryAfterMs wins (later
+    * failures push the retry out).
     */
-  def openGapDays(spark: SparkSession, root: String, cfgHash: String,
-                  nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+  private def openGaps(spark: SparkSession, root: String,
+                       cfgHash: String): Seq[(String, Long)] = {
     val dir = new java.io.File(s"$root/gaps")
     if (!dir.exists()) return Seq.empty
     val done = completedDays(spark, root, cfgHash)
@@ -214,10 +263,25 @@ object Checkpoint {
       .filter(col("configHash") === cfgHash)
       .groupBy(col("day"))
       .agg(max_by(col("retryAfterMs"), col("createdAtMs")).as("retryAfterMs"))
-      .filter(col("retryAfterMs") <= nowMs)
-      .select("day").collect().map(_.getString(0))
-      .filterNot(done).sorted.toSeq
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filterNot(r => done(r._1)).sortBy(_._1).toSeq
   }
+
+  /** Open gap days retry-eligible at `nowMs`, oldest first. A day whose
+    * retryAfterMs is still in the future is NOT returned — and must not be
+    * processed as fresh either (see [[blockedGapDays]]): backoff delays the
+    * day, it does not merely reorder it.
+    */
+  def openGapDays(spark: SparkSession, root: String, cfgHash: String,
+                  nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    openGaps(spark, root, cfgHash).filter(_._2 <= nowMs).map(_._1)
+
+  /** Open gap days whose backoff has NOT elapsed at `nowMs` — skipped
+    * entirely this run.
+    */
+  def blockedGapDays(spark: SparkSession, root: String, cfgHash: String,
+                     nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    openGaps(spark, root, cfgHash).filter(_._2 > nowMs).map(_._1)
 
   // ------------------------------------------------------------------
   // Bookkeeping allocators + usage rollup
@@ -284,7 +348,12 @@ object Checkpoint {
       val allDays = withDay.select("day").distinct().collect().map(_.getString(0)).sorted
       val done = completedDays(spark, root, cfgHash)
       val gapDays = openGapDays(spark, root, cfgHash).filter(allDays.contains)
+      // a backed-off gap day is skipped this run entirely — excluded from
+      // fresh too, so retryBackoffMs actually delays the retry instead of
+      // merely reordering it
+      val blocked = blockedGapDays(spark, root, cfgHash).toSet
       val fresh = allDays.filterNot(done).filterNot(gapDays.contains)
+        .filterNot(blocked)
       val todo = (gapDays ++ fresh).distinct
 
       var processed = 0
