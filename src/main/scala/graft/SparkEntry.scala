@@ -23,6 +23,48 @@ object SparkEntry {
   private def bp(c: org.apache.spark.sql.Column, scale: Int) =
     round(c * scale).cast("bigint")
 
+  // ------------------------------------------------------------------
+  // Oracle aux tables: the dedup/multimodal corpora are generated
+  // in-session (deterministic from seed), so the DuckDB oracle can only
+  // verify them if the INPUTS are also on disk. Each query writes its
+  // generated input to a fixed absolute path once per JVM; the oracle SQL
+  // reads it back via read_parquet() and recomputes the result
+  // independently (all-pairs exact cosine, recursive-CTE connected
+  // components, header-math media features). Spark and DuckDB therefore
+  // consume byte-identical f32 embeddings / media bytes.
+  // ------------------------------------------------------------------
+  private val AuxDir = "/root/repo/target/verify_aux"
+  @volatile private var dedupAuxDone = false
+  @volatile private var mediaAuxDone = false
+
+  /** Deterministic 3k-doc dedup corpus; side-effect-writes
+    * (url, warc_ts, n_chars, simhash, vec) for the DuckDB oracle.
+    */
+  private def dedupAuxPages(s: SparkSession): DataFrame = {
+    val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
+    if (!dedupAuxDone) synchronized { if (!dedupAuxDone) {
+      DedupPipeline.signatures(pages, DedupConfig())
+        .select(col("url"), col("warc_ts"), col("n_chars"), col("simhash"), col("vec"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$AuxDir/dedup_corpus.parquet")
+      dedupAuxDone = true
+    } }
+    pages
+  }
+
+  /** Deterministic 200-row media table; side-effect-writes the raw bytes
+    * for the DuckDB oracle (which re-derives dims/duration from the BMP/WAV
+    * headers by pure byte arithmetic).
+    */
+  private def mediaAux(s: SparkSession): DataFrame = {
+    val media = Multimodal.generateMedia(s, 200, seed = 42L)
+    if (!mediaAuxDone) synchronized { if (!mediaAuxDone) {
+      media.select("media_id", "kind", "bytes")
+        .coalesce(2).write.mode("overwrite").parquet(s"$AuxDir/media.parquet")
+      mediaAuxDone = true
+    } }
+    media
+  }
+
   /** Flagship: full near-dup clustering of a deterministic synthetic pages
     * corpus (generated in-session; sf0.001-sized). Driver smoke-checks rows>0.
     */
@@ -217,27 +259,110 @@ object SparkEntry {
 
     // flagship clustering (SURVEY §7.1); components/keepers/splits + the
     // keeper's merged-away alt_urls lineage (stringified — the driver
-    // harness hashes scalar columns)
+    // harness hashes scalar columns). ORACLE-EXACT since round 3: DuckDB
+    // recomputes the components from the aux corpus via all-pairs exact
+    // cosine + a recursive-CTE closure, then replays split/keeper/alt_urls.
     "p_dedup_clusters" -> ((s, _) => {
-      val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
+      val pages = dedupAuxPages(s)
       DedupPipeline.run(s, pages)
-        .select(col("url"), col("component"), col("chunk"), col("cluster_id"),
+        .select(col("url"), col("component"), col("chunk"),
+          md5(concat_ws("#", col("component"), col("chunk")).cast("binary"))
+            .as("cluster_md5"),
           col("cluster_size"), col("is_keeper"),
           coalesce(concat_ws(";", transform(col("alt_urls"), x => x.getField("url"))),
             lit("")).as("alt_urls"))
-        .orderBy("cluster_id", "url")
+        .orderBy("component", "chunk", "url")
     }),
 
-    // verified duplicate edges w/ similarity diagnostics (SURVEY §2.4 J1)
+    // verified duplicate edges (SURVEY §2.4 J1). ORACLE-EXACT since round
+    // 3: the LSH-banded + hamming-pregated + cosine-verified edge set must
+    // EQUAL DuckDB's brute-force all-pairs cosine >= 0.90 over the same f32
+    // vectors — candidate recall 1.0 and verify exactness in one check.
     "p_dedup_edges" -> ((s, _) => {
-      val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
+      val pages = dedupAuxPages(s)
       val cfg = DedupConfig()
       val sigs = DedupPipeline.signatures(pages, cfg)
       val cand = DedupPipeline.candidates(sigs, cfg)
       DedupPipeline.verifiedEdges(sigs, cand, cfg, diagnostics = true)
-        .select(col("url_a"), col("url_b"), bp(col("cosine"), 10000).as("cosine_bp"),
-          bp(col("est_jaccard"), 10000).as("est_jaccard_bp"), col("simhash_hamming"))
+        // pairs are uid-ordered internally; present them url-ordered so the
+        // edge SET comparison is orientation-free
+        .select(least(col("url_a"), col("url_b")).as("url_a"),
+          greatest(col("url_a"), col("url_b")).as("url_b"),
+          bp(col("cosine"), 10000).as("cosine_bp"),
+          col("simhash_hamming").cast("int").as("simhash_hamming"))
         .orderBy("url_a", "url_b")
+    }),
+
+    // multimodal feature extraction (real BMP/WAV/PNG codecs); oracle
+    // re-derives n_bytes/dims/duration from the raw bytes' headers and the
+    // content hash via md5-over-base64 — fully independent recomputation
+    "m_media_features" -> ((s, _) => {
+      val media = mediaAux(s)
+      val feats = Multimodal.extractFeatures(s, media)
+      // md5 over the HEX rendering (uppercase in both engines): DuckDB 1.0
+      // has no md5(BLOB), and Spark's base64 is MIME-chunked (CRLF every 76
+      // chars) — hex is the stable cross-engine byte rendering
+      feats.join(media.select(col("media_id"),
+          md5(encode(hex(col("bytes")), "UTF-8")).as("content_md5")), Seq("media_id"))
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("bigint").as("n_bytes"),
+          col("width"), col("height"), col("duration_ms"), col("content_md5"))
+        .orderBy("media_id")
+    }),
+
+    // streaming exact dedup-on-arrival (SURVEY §2.9), drained through a
+    // MemoryStream: the emitted first-arrival set per content hash equals
+    // DISTINCT md5(text) — order-independent, hence oracle-exact.
+    // (MemoryStream is driver-fed by design: fixture-scale collect.)
+    "s_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        .map { case (id, text) => (new java.sql.Timestamp(base + id * 1000L), s"u$id", text) }
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, String)]
+      s.catalog.dropTempView("s_stream_dedup_sink")
+      val q = graft.streaming.Streaming.exactDedupStream(
+          in.toDF().toDF("warc_ts", "url", "text"))
+        .select("content_md5")
+        .writeStream.format("memory").queryName("s_stream_dedup_sink")
+        .outputMode("append").start()
+      docs.grouped(200).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      q.stop()
+      s.table("s_stream_dedup_sink").orderBy("content_md5")
+    }),
+
+    // streaming watermarked windowed rollup (SURVEY §2.9), drained through
+    // a MemoryStream with watermark-advancing sentinel rows so append mode
+    // flushes every real window; values pre-scaled to integer cents so the
+    // streaming sum is order-independent and oracle-exact
+    "s_stream_windows" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = ld(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          round(col("value") * 100).as("value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1.getTime)
+      val maxTs = evs.map(_._1.getTime).max
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+      s.catalog.dropTempView("s_stream_windows_sink")
+      val q = graft.streaming.Streaming.windowedEventStats(
+          in.toDF().toDF("ts", "event_type", "value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"), col("n"), col("sum_value").cast("bigint").as("sum_value_c"))
+        .writeStream.format("memory").queryName("s_stream_windows_sink")
+        .outputMode("append").start()
+      in.addData(evs.toSeq); q.processAllAvailable()
+      // two sentinel batches: batch k emits windows the PREVIOUS batch's
+      // watermark passed, so the second sentinel flushes everything real
+      Seq(10L, 20L).foreach { hOff =>
+        in.addData(Seq((new java.sql.Timestamp(maxTs + hOff * 3600000L), "__wm__", 0.0)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table("s_stream_windows_sink").filter(col("event_type") =!= "__wm__")
+        .orderBy("h", "event_type")
     }),
 
     // extraction invariant audit (SURVEY §2.2 P1/P2): per-day doc stats +
@@ -368,10 +493,11 @@ object SparkEntry {
     }),
 
     // SimHash near-dup buckets (SURVEY §2.3): docs whose 64-bit SimHash
-    // matches on 3-of-4 16-bit bands join a candidate pool, verified by
-    // hamming <= 6
+    // matches on >= 1 of 4 16-bit bands join a candidate pool, verified by
+    // hamming <= 6. ORACLE-EXACT since round 3: DuckDB recomputes the
+    // banded pair set brute-force from the aux corpus simhashes.
     "p_simhash_pairs" -> ((s, _) => {
-      val pages = PagesGen.generate(s, nDocs = 1500, nDomains = 100, seed = 42L)
+      val pages = dedupAuxPages(s)
       val cfg = DedupConfig()
       val sigs = DedupPipeline.signatures(pages, cfg)
         .filter(col("minhash").isNotNull)
@@ -492,6 +618,39 @@ object SparkEntry {
         |     (length(trim(text)) - length(replace(trim(text), ' ', '')))) * 100.0 /
         |     len(string_split_regex(trim(text), '\s+'))) AS BIGINT) END AS mean_token_len_c
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality_full" ->
+      """WITH t AS (
+        | SELECT doc_id, text, length(text) AS n,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS rawtoks,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |  len(regexp_extract_all(text, '[^\p{L}\p{Nd}\s]')) AS punct,
+        |  len(regexp_extract_all(text, '[\p{Nd}]')) AS digit,
+        |  len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd}\s]')) AS bpe
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id, n, punct, digit, bpe,
+        |  len(rawtoks) AS ws_tokens, len(toks) AS ntok,
+        |  CASE WHEN len(toks)=0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_len,
+        |  CASE WHEN len(toks)=0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by','are','be','this','from','but',
+        |       'not','have','had','has','they','you','we'], x))) AS DOUBLE) / len(toks) END AS stop_ratio
+        | FROM t),
+        |sc AS (
+        | SELECT doc_id, ws_tokens, bpe, n,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |   0.25 * (((least(1.0, n/200.0)
+        |    + (CASE WHEN mean_len >= 3.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.5 END))
+        |    + least(1.0, stop_ratio/0.2))
+        |    + greatest(0.0, 1.0 - 2.0*((CAST(punct AS DOUBLE)/n) + (CAST(digit AS DOUBLE)/n))))
+        |  END AS score
+        | FROM q)
+        |SELECT doc_id, CAST(ws_tokens AS INT) AS ws_tokens,
+        | CAST(bpe AS INT) AS bpeish_tokens, CAST(n AS INT) AS n_chars,
+        | CAST(round(score * 10000) AS BIGINT) AS quality_bp
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q_coverage_gate" ->
       """WITH pop AS (SELECT DISTINCT o_orderkey AS id FROM orders),
         | hit AS (SELECT count(*) AS n_assigned FROM pop
@@ -554,6 +713,96 @@ object SparkEntry {
       """SELECT coalesce(event_type, 'ALL') AS phase, count(*) AS n,
         | CAST(sum(round(value*100)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY ROLLUP(event_type) ORDER BY phase""".stripMargin,
+    "p_dedup_edges" ->
+      """WITH c AS MATERIALIZED (
+        | SELECT url, simhash, CAST(vec AS DOUBLE[]) AS vec
+        | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet'))
+        |SELECT a.url AS url_a, b.url AS url_b,
+        | CAST(round(least(list_dot_product(a.vec, b.vec), 1.0) * 10000) AS BIGINT) AS cosine_bp,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS simhash_hamming
+        |FROM c a JOIN c b ON a.url < b.url
+        |WHERE list_dot_product(a.vec, b.vec) >= 0.90
+        |ORDER BY url_a, url_b""".stripMargin,
+    "p_dedup_clusters" ->
+      """WITH RECURSIVE
+        |c AS MATERIALIZED (
+        | SELECT url, warc_ts, n_chars, CAST(vec AS DOUBLE[]) AS vec
+        | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet')),
+        |e AS MATERIALIZED (
+        | SELECT a.url AS u, b.url AS v FROM c a JOIN c b ON a.url < b.url
+        | WHERE list_dot_product(a.vec, b.vec) >= 0.90),
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |reach(u, v) AS (
+        | SELECT u, v FROM sym
+        | UNION
+        | SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+        |comp AS (SELECT u AS url, least(u, min(v)) AS comp0 FROM reach GROUP BY u),
+        |m AS (SELECT comp.url, comp.comp0, c.warc_ts, c.n_chars
+        |      FROM comp JOIN c ON comp.url = c.url),
+        |sized AS (SELECT *,
+        |  count(*) OVER (PARTITION BY comp0) AS comp_size,
+        |  row_number() OVER (PARTITION BY comp0 ORDER BY warc_ts DESC, url ASC) AS rn,
+        |  min(url) OVER (PARTITION BY comp0) AS component
+        | FROM m),
+        |chunked AS (SELECT *, CAST(floor((rn - 1) / 20) AS INT) AS chunk
+        |            FROM sized WHERE comp_size >= 2),
+        |cs AS (SELECT *, count(*) OVER (PARTITION BY comp0, chunk) AS cluster_size
+        |       FROM chunked),
+        |k AS (SELECT *, (row_number() OVER (PARTITION BY comp0, chunk
+        |        ORDER BY n_chars DESC, rn ASC)) = 1 AS is_keeper
+        |      FROM cs WHERE cluster_size >= 2),
+        |alt AS (SELECT comp0, chunk,
+        |        string_agg(CASE WHEN NOT is_keeper THEN url END, ';' ORDER BY rn) AS alts
+        |        FROM k GROUP BY comp0, chunk)
+        |SELECT k.url, k.component, k.chunk,
+        | md5(k.component || '#' || CAST(k.chunk AS VARCHAR)) AS cluster_md5,
+        | k.cluster_size, k.is_keeper,
+        | CASE WHEN k.is_keeper THEN coalesce(alt.alts, '') ELSE '' END AS alt_urls
+        |FROM k JOIN alt USING (comp0, chunk)
+        |ORDER BY component, chunk, url""".stripMargin,
+    "m_media_features" ->
+      """WITH m AS (
+        | SELECT media_id, kind, bytes, hex(bytes) AS hx, octet_length(bytes) AS n_bytes
+        | FROM read_parquet('/root/repo/target/verify_aux/media.parquet/*.parquet')),
+        |b AS (SELECT media_id, kind, n_bytes, bytes,
+        |  list_transform(range(1, 45), i ->
+        |    (instr('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16 +
+        |     instr('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS bv
+        | FROM m)
+        |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+        | CAST(CASE WHEN bv[1]=66 AND bv[2]=77
+        |   THEN bv[19] + 256*bv[20] + 65536*bv[21] + 16777216*bv[22] ELSE 0 END AS INT) AS width,
+        | CAST(CASE WHEN bv[1]=66 AND bv[2]=77
+        |   THEN bv[23] + 256*bv[24] + 65536*bv[25] + 16777216*bv[26] ELSE 0 END AS INT) AS height,
+        | CAST(CASE WHEN bv[1]=82 AND bv[2]=73 AND bv[3]=70 AND bv[4]=70
+        |       AND bv[9]=87 AND bv[10]=65 AND bv[11]=86 AND bv[12]=69
+        |   THEN (((bv[41] + 256*bv[42] + 65536*bv[43] + 16777216*bv[44]) // 2
+        |          // (bv[23] + 256*bv[24])) * 1000)
+        |        // (bv[25] + 256*bv[26] + 65536*bv[27] + 16777216*bv[28])
+        |   ELSE 0 END AS INT) AS duration_ms,
+        | md5(hex(bytes)) AS content_md5
+        |FROM b ORDER BY media_id""".stripMargin,
+    "p_simhash_pairs" ->
+      """WITH c AS MATERIALIZED (
+        | SELECT url, simhash
+        | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet'))
+        |SELECT a.url AS url_a, b.url AS url_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM c a JOIN c b ON a.url < b.url
+        |WHERE ((a.simhash >> 0) & 65535 = (b.simhash >> 0) & 65535
+        |    OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+        |    OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+        |    OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY url_a, url_b""".stripMargin,
+    "s_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        |ORDER BY content_md5""".stripMargin,
+    "s_stream_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        | event_type, count(*) AS n,
+        | CAST(sum(round(value*100)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
