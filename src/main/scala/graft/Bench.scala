@@ -1,47 +1,46 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import graft.operators.{DedupConfig, DedupPipeline}
 import graft.sources.PagesGen
 
 /** Benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "dedup":{"docs":N,"cpus":16,"docs_per_sec":...},
-  *  "scaling":{"cpus_lo":1,"docs_per_sec_lo":...,"cpus_hi":4,
-  *             "docs_per_sec_hi":...,"efficiency":...}}
+  *  "dedup":{...},"scaling":{...,"runs":[...],"controls":{...}}}
   *
   * Two measurements:
   *
   *   - **scaling** (the north rule's N vs 4N evidence): the same job, same
-  *     input bytes, at local[1] and local[4]; efficiency =
-  *     thr(4N) / (4 * thr(N)).
-  *   - **dedup** (the headline docs/sec): the best scaling-hi run (or a
-  *     separate level via SPARK_GRAFT_HEADLINE_CPUS).
+  *     input bytes, at local[hi/4] and local[hi] (hi = SPARK_GRAFT_CPUS,
+  *     default 32); efficiency = thr(4N) / (4 * thr(N)).
+  *   - **dedup** (the headline docs/sec): the best scaling-hi run.
   *
-  * Why N=1, 4N=4 and not 8-vs-32: scaling efficiency on ONE box is bounded
-  * by the box's shared memory bus, not by the engine. Measured on this VM
-  * (100 MB streaming sums): aggregate bandwidth 8.3 / 26.8 / 40.9 / 45.1 /
-  * 59.1 GB/s at 1/4/8/16/32 workers — beyond ~8 workers extra threads add
-  * almost no bandwidth, and the shuffle-heavy phases of this pipeline
-  * measurably INVERT at local[32] (322 s at local[8] vs 450 s at local[32],
-  * same input, warm JVM). A real cluster's N -> 4N adds whole NODES — 4x
-  * the memory buses and local SSDs, the resources this box cannot multiply.
-  * The 1 -> 4 pair is the largest 4x step that stays inside the box's
-  * near-linear bandwidth region (8.3 -> 26.8 GB/s = 3.2x), i.e. the honest
-  * single-node stand-in for adding executors. Override with
-  * SPARK_GRAFT_CPUS (scaling hi) / SPARK_GRAFT_HEADLINE_CPUS if desired.
-  *
-  * Measurement protocol (this host's wall clock has multi-x noise bursts):
+  * Measurement protocol (this host's wall clock has multi-x noise bursts —
+  * hypervisor throttling windows have slowed identical runs 10x):
   *   - the corpus is generated ONCE and parqueted to RAM disk; every
   *     measurement session reads the same files (generation excluded from
   *     all timings, identical input bytes per run)
-  *   - a small untimed warmup run first: JIT + codegen caches are JVM-wide,
-  *     so all timed runs execute hot code (a cluster benchmark would
-  *     likewise measure steady-state executors, not JVM warmup)
-  *   - scaling levels interleave lo,hi,lo,hi and each level takes its best
-  *     run: noise bursts only ever slow a run down, so max-of-runs
-  *     estimates the true rate; interleaving keeps slow drift from biasing
-  *     one level
+  *   - an untimed warmup run first: JIT + codegen caches are JVM-wide, so
+  *     all timed runs execute hot code (a cluster benchmark likewise
+  *     measures steady-state executors, not JVM warmup)
+  *   - a FIXED number of interleaved lo,hi pairs (no adaptive stopping —
+  *     a stop-when-passing rule is optional stopping and biases the
+  *     estimate; flagged in round-2 review, removed). Each level reports
+  *     its best run: noise bursts only ever SLOW a run, so max-of-runs
+  *     estimates the true rate; interleaving keeps slow drift from
+  *     biasing one level. ALL raw runs are emitted.
+  *   - every run carries its Spark-measured cpu_core_sec / gc_sec /
+  *     read_mb / shuffle_mb, and the JSON carries two same-window
+  *     CONTROLS measured around the runs:
+  *       kernel:  the pure-JVM per-doc kernel (shingle+OPH+simhash+embed)
+  *                at lo and hi threads — the box's achievable CPU scaling
+  *                for exactly this compute, in this hypervisor window;
+  *       membw:   aggregate streaming memory bandwidth at lo and hi
+  *                threads — the box's shared-bus ceiling.
+  *     If the box is being throttled (or the bus is saturated), the
+  *     controls prove it in the artifact itself rather than in prose:
+  *     compare `efficiency` against `controls.kernel.efficiency`.
   */
 object Bench {
 
@@ -66,34 +65,141 @@ object Bench {
     s
   }
 
-  /** Timed dedup run at a given parallelism over the pre-generated corpus.
-    * Returns (sec, docs/sec). Corpus read+persist happens before the clock.
+  // ------------------------------------------------------------ controls
+
+  /** Aggregate streaming memory bandwidth (GB/s) with `threads` workers,
+    * each summing its own 64 MB long array (cold-ish: arrays exceed L2,
+    * alternate stride defeats prefetch-sharing). Best of `reps` passes.
     */
-  private def dedupThroughput(cpus: Int, corpusPath: String, nDocs: Long): (Double, Double) = {
+  private def memBandwidthGBps(threads: Int, reps: Int = 3): Double = {
+    val words = (64 << 20) / 8
+    val arrays = Array.fill(threads)(Array.tabulate(words)(i => i.toLong))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val fs = arrays.map { a =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = { var s = 0L; var i = 0; while (i < a.length) { s += a(i); i += 1 }; s }
+          })
+        }
+        fs.foreach(_.get())
+        val sec = (System.nanoTime() - t0) / 1e9
+        threads.toLong * words * 8 / sec / 1e9
+      }.max
+    } finally { pool.shutdown(): Unit }
+  }
+
+  /** Pure-JVM per-doc kernel throughput (docs/s) at `threads` threads over
+    * the SAME kernel the pipeline's signatures stage runs (shingles + OPH
+    * MinHash + SimHash + trigram embedding) on a sample of the bench
+    * corpus. This is the box's achievable CPU-scaling ceiling for this
+    * compute, measured in the same hypervisor window as the Spark runs.
+    */
+  private def kernelDocsPerSec(threads: Int, texts: Array[String]): Double = {
+    import graft.core.{HashingEmbedder, MinHash}
+    val n = texts.length
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val t0 = System.nanoTime()
+      val chunk = math.max(1, n / threads)
+      val fs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var acc = 0L
+            var i = t * chunk
+            val end = if (t == threads - 1) n else math.min(n, (t + 1) * chunk)
+            while (i < end) {
+              val sh = MinHash.shingles(texts(i), 3)
+              if (sh.nonEmpty) {
+                val sig = MinHash.signatureOPH(sh, 128)
+                acc ^= sig(0) ^ MinHash.simHash(sh)
+              }
+              val v = HashingEmbedder.embed(texts(i))
+              acc ^= java.lang.Float.floatToIntBits(v(0))
+              i += 1
+            }
+            acc
+          }
+        })
+      }
+      fs.foreach(_.get())
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally { pool.shutdown(): Unit }
+  }
+
+  // ------------------------------------------------------------ metrics
+
+  private final class TaskAgg extends SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val readB = new java.util.concurrent.atomic.AtomicLong
+    val shufRB = new java.util.concurrent.atomic.AtomicLong
+    val shufWB = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        readB.addAndGet(m.inputMetrics.bytesRead)
+        shufRB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWB.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+  }
+
+  final case class Run(cpus: Int, sec: Double, docsPerSec: Double,
+                       cpuCoreSec: Double, gcSec: Double,
+                       readMb: Double, shuffleMb: Double,
+                       stealSec: Double, sysSec: Double) {
+    def json: String =
+      f"""{"cpus":$cpus,"sec":$sec%.2f,"docs_per_sec":$docsPerSec%.1f,"cpu_core_sec":$cpuCoreSec%.1f,"gc_sec":$gcSec%.1f,"read_mb":$readMb%.1f,"shuffle_mb":$shuffleMb%.1f,"host_steal_sec":$stealSec%.1f,"host_sys_sec":$sysSec%.1f}"""
+  }
+
+  /** (user+nice, system, steal) CPU seconds from /proc/stat — hypervisor
+    * steal during a run is the direct evidence of a throttling window.
+    */
+  private def hostCpu(): (Double, Double, Double) = try {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .split("\\s+").drop(1).map(_.toDouble)
+    ((l(0) + l(1)) / 100.0, l(2) / 100.0, (if (l.length > 7) l(7) else 0.0) / 100.0)
+  } catch { case _: Throwable => (0.0, 0.0, 0.0) }
+
+  /** Timed dedup run at a given parallelism over the pre-generated corpus.
+    * Corpus read+persist happens before the clock.
+    */
+  private def dedupThroughput(cpus: Int, corpusPath: String, nDocs: Long): Run = {
     val spark = build(cpus)
     try {
+      val agg = new TaskAgg
+      spark.sparkContext.addSparkListener(agg)
       val pages = spark.read.parquet(corpusPath)
         .select("url", "warc_ts", "text") // only what the pipeline reads
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count() // materialize input outside the timed section
+      agg.cpuNs.set(0); agg.gcMs.set(0); agg.readB.set(0)
+      agg.shufRB.set(0); agg.shufWB.set(0)
+      val h0 = hostCpu()
       val t0 = System.nanoTime()
       val n = DedupPipeline.run(spark, pages, DedupConfig()).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] cpus=$cpus%2d sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f out=$n")
+      val h1 = hostCpu()
+      Thread.sleep(500) // let the async listener bus drain the last taskEnds
+      val run = Run(cpus, sec, nDocs / sec, agg.cpuNs.get / 1e9,
+        agg.gcMs.get / 1e3, agg.readB.get / 1e6,
+        (agg.shufRB.get + agg.shufWB.get) / 1e6,
+        h1._3 - h0._3, h1._2 - h0._2)
+      System.err.println(f"[bench] cpus=$cpus%2d sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f cpu=${run.cpuCoreSec}%7.1f gc=${run.gcSec}%5.1f shuf_mb=${run.shuffleMb}%8.1f steal=${run.stealSec}%5.1f sys=${run.sysSec}%6.1f out=$n")
       pages.unpersist()
-      (sec, nDocs / sec)
+      run
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val hiCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val hiCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loCpus = math.max(1, hiCpus / 4)
-    // optional extra headline level; 0 (default) reuses the scaling-hi
-    // best. Sessions with 16+ task threads on this VM draw hypervisor
-    // throttling bursts (same run measured 31 s and 425 s), so a separate
-    // high-thread headline is noise, not signal.
-    val headlineCpus = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_CPUS", "0").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "3").toInt
     val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
       "q_session_gaps", "q_top_order_per_cust", "d_exact_dedup", "d_quality",
       "e_cosine_topk", "p_dedup_clusters")
@@ -103,12 +209,15 @@ object Bench {
       else "target"
     val corpusPath = s"$scratch/corpus-${ProcessHandle.current().pid()}.parquet"
 
-    val spark = build(if (headlineCpus > 0) headlineCpus else 8) // query/gen session
-    // scaling corpus: sized so per-doc compute dominates the pipeline's
-    // ~10 serial job barriers at the lo level while the local[1] run stays
-    // minutes, not tens of minutes (sf0.1 -> 120k docs)
-    val nDocs = math.max(100000L,
-      24 * spark.read.parquet(s"$sfDir/documents.parquet").count())
+    val spark = build(8) // query/gen session
+    // scaling corpus: sized so distributed compute dominates the pipeline's
+    // serial job barriers at the lo level. Time model t(p) = C/p + F with
+    // measured C ~ 0.8 core-ms/doc and F ~ 8-12 s of per-run fixed cost
+    // (AQE stage scheduling, CC round barriers): efficiency measures the
+    // ENGINE only when C/loCpus >> F, which needs ~2M docs at lo=8.
+    // Overridable for probes via SPARK_GRAFT_NDOCS.
+    val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong).getOrElse(
+      math.max(100000L, 400 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
     val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -121,40 +230,35 @@ object Bench {
     // ... and an untimed warmup so every timed run executes JIT-hot code
     val warm = spark.read.parquet(corpusPath).limit(30000)
     DedupPipeline.run(spark, warm, DedupConfig()).count()
+    // kernel-control sample: real corpus texts (hits the same embed cache
+    // behavior as the pipeline)
+    val kernelSample = spark.read.parquet(corpusPath).limit(20000)
+      .select("text").collect().map(_.getString(0))
     spark.stop()
 
-    // Interleaved best-of-N per scaling level. This host's noise bursts
-    // run for many minutes and have repeatedly eaten whole runs (same
-    // code+input measured 31 s and 425 s within two hours; one window
-    // slowed even a 1-core run 3x). Bursts only ever SLOW a run, so
-    // max-throughput-per-level converges on the true rate as runs are
-    // added, and interleaving keeps slow drift from biasing one level.
-    // Protocol: 3 pairs minimum; while the efficiency estimate is still
-    // below 0.85 (i.e. at least one level likely has no burst-free sample
-    // yet) add pairs, up to 5 total. All raw runs are reported.
-    val runsBuf = scala.collection.mutable.ArrayBuffer[(Int, (Double, Double))]()
-    def pair(): Unit = Seq(loCpus, hiCpus).foreach { c =>
-      runsBuf += (c -> dedupThroughput(c, corpusPath, nDocs))
-    }
-    def bestLo = runsBuf.filter(_._1 == loCpus).map(_._2._2).max
-    def bestHi = runsBuf.filter(_._1 == hiCpus).map(_._2._2).max
-    (1 to 3).foreach(_ => pair())
-    while (bestHi / (4.0 * bestLo) < 0.85 && runsBuf.size < 10) pair()
-    val runs = runsBuf.toSeq
-    val thrLo = bestLo
-    val thrHi = bestHi
-    val eff = thrHi / (4.0 * thrLo)
+    // ---- controls, window 1 (before the timed runs) ----
+    kernelDocsPerSec(4, kernelSample) // JIT warm
+    val kLo1 = kernelDocsPerSec(loCpus, kernelSample)
+    val kHi1 = kernelDocsPerSec(hiCpus, kernelSample)
 
-    val headRuns =
-      if (headlineCpus > 0) Seq.fill(2)(dedupThroughput(headlineCpus, corpusPath, nDocs))
-      else runs.filter(_._1 == hiCpus).map(_._2)
-    val headCpus = if (headlineCpus > 0) headlineCpus else hiCpus
-    val thrHead = headRuns.map(_._2).max
-    val secHead = headRuns.map(_._1).min
-    val rawRuns = (runs.map { case (c, (s, t)) => (c, s, t) } ++
-      (if (headlineCpus > 0) headRuns.map { case (s, t) => (headlineCpus, s, t) } else Nil))
-      .map { case (c, s, t) => f"""{"cpus":$c,"sec":$s%.2f,"docs_per_sec":$t%.1f}""" }
-      .mkString("[", ",", "]")
+    // ---- fixed interleaved pairs, best-of per level ----
+    val runs = scala.collection.mutable.ArrayBuffer[Run]()
+    (1 to pairs).foreach { _ =>
+      runs += dedupThroughput(loCpus, corpusPath, nDocs)
+      runs += dedupThroughput(hiCpus, corpusPath, nDocs)
+    }
+    val bestLo = runs.filter(_.cpus == loCpus).maxBy(_.docsPerSec)
+    val bestHi = runs.filter(_.cpus == hiCpus).maxBy(_.docsPerSec)
+    val eff = bestHi.docsPerSec / (4.0 * bestLo.docsPerSec)
+
+    // ---- controls, window 2 (after the timed runs) ----
+    val kLo2 = kernelDocsPerSec(loCpus, kernelSample)
+    val kHi2 = kernelDocsPerSec(hiCpus, kernelSample)
+    val kLo = math.max(kLo1, kLo2)
+    val kHi = math.max(kHi1, kHi2)
+    val kernelEff = kHi / (4.0 * kLo)
+    val bwLo = memBandwidthGBps(loCpus)
+    val bwHi = memBandwidthGBps(hiCpus)
 
     // clean up the RAM-disk corpus
     def rm(f: java.io.File): Unit = {
@@ -162,9 +266,12 @@ object Bench {
     }
     rm(new java.io.File(corpusPath))
 
-    val total = queryTimes.map(_._2).sum + secHead
+    val total = queryTimes.map(_._2).sum + bestHi.sec
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val rawRuns = runs.map(_.json).mkString("[", ",", "]")
+    val controls =
+      f"""{"kernel":{"docs_per_sec_lo":$kLo%.0f,"docs_per_sec_hi":$kHi%.0f,"efficiency":$kernelEff%.3f},"membw_gbps":{"lo":$bwLo%.1f,"hi":$bwHi%.1f},"pipeline_cpu_core_sec":{"lo":${bestLo.cpuCoreSec}%.1f,"hi":${bestHi.cpuCoreSec}%.1f},"bytes_per_doc":{"read":${bestHi.readMb * 1e6 / nDocs}%.0f,"shuffle":${bestHi.shuffleMb * 1e6 / nDocs}%.0f},"eff_vs_kernel":${eff / kernelEff}%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$nDocs,"cpus":$headCpus,"sec":$secHead%.3f,"docs_per_sec":$thrHead%.1f},"scaling":{"cpus_lo":$loCpus,"docs_per_sec_lo":$thrLo%.1f,"cpus_hi":$hiCpus,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"runs":$rawRuns}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$nDocs,"cpus":${bestHi.cpus},"sec":${bestHi.sec}%.3f,"docs_per_sec":${bestHi.docsPerSec}%.1f},"scaling":{"cpus_lo":$loCpus,"docs_per_sec_lo":${bestLo.docsPerSec}%.1f,"cpus_hi":$hiCpus,"docs_per_sec_hi":${bestHi.docsPerSec}%.1f,"efficiency":$eff%.3f,"controls":$controls,"runs":$rawRuns}}""")
   }
 }

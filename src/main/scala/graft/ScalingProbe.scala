@@ -29,6 +29,8 @@ object ScalingProbe {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_NDOCS", "100000").toLong
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
+    val cfg = DedupConfig(exactPrecollapse =
+      sys.env.getOrElse("SPARK_GRAFT_PRECOLLAPSE", "true").toBoolean)
     levels.foreach { cpus =>
       val spark = build(cpus)
       try {
@@ -36,7 +38,7 @@ object ScalingProbe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pages.count()
         val t0 = System.nanoTime()
-        val n = DedupPipeline.run(spark, pages, DedupConfig()).count()
+        val n = DedupPipeline.run(spark, pages, cfg).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[probe] cpus=$cpus%2d nDocs=$nDocs sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f outRows=$n")
         pages.unpersist()

@@ -44,7 +44,8 @@ object SparkEntry {
     val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
     if (!dedupAuxDone) synchronized { if (!dedupAuxDone) {
       DedupPipeline.signatures(pages, DedupConfig())
-        .select(col("url"), col("warc_ts"), col("n_chars"), col("simhash"), col("vec"))
+        .select(col("url"), col("warc_ts"), col("n_chars"), col("simhash"),
+          Fns.sparseToDenseUdf(col("svec")).as("vec")) // exact dense form for DuckDB
         .coalesce(4).write.mode("overwrite").parquet(s"$AuxDir/dedup_corpus.parquet")
       dedupAuxDone = true
     } }

@@ -82,6 +82,22 @@ object Fns {
   }
   val embedUdf = udf { text: String => HashingEmbedder.embed(text) }
 
+  /** Sparse embedding twin (struct(packed: array<bigint>, norm: double)):
+    * ~2.5x fewer shuffle bytes through the verify join, bitwise-equal
+    * cosine (see [[graft.core.HashingEmbedder.embedSparse]]).
+    */
+  val embedSparseUdf = udf { text: String => HashingEmbedder.embedSparse(text) }
+
+  /** Exact dense reconstruction of a sparse embedding (oracle export). */
+  val sparseToDenseUdf = udf { sv: HashingEmbedder.SparseVec =>
+    HashingEmbedder.sparseToDense(sv.packed, sv.norm)
+  }
+
+  /** Cosine over two sparse embeddings — codegen'd, bitwise-equal to
+    * [[cosineCol]] over the dense reconstructions.
+    */
+  def cosineSparseCol(a: Column, b: Column): Column = CosineSparse(a, b)
+
   /** One-pass signature bundle: shingle once, derive MinHash signature +
     * SimHash + shingle count. Null signature for texts shorter than k
     * (they can never be near-dups; callers filter).

@@ -51,14 +51,14 @@ object Calibration {
       pages.filter(col("truth_family") >= 0 || pmod(xxhash64(col("url")), lit(10)) === 0), cfg)
     val withFam = sigs.join(
       pages.select(col("url"), col("truth_family")), "url")
-    val a = withFam.select(col("uid").as("uid_a"), col("vec").as("vec_a"),
+    val a = withFam.select(col("uid").as("uid_a"), col("svec").as("svec_a"),
       col("truth_family").as("fam_a"), pmod(xxhash64(col("url")), lit(64)).as("g"))
-    val b = withFam.select(col("uid").as("uid_b"), col("vec").as("vec_b"),
+    val b = withFam.select(col("uid").as("uid_b"), col("svec").as("svec_b"),
       col("truth_family").as("fam_b"), pmod(xxhash64(col("url")), lit(64)).as("g"))
     // bucketed pairing keeps this harness O(n) — pairs within a hash bucket
     a.join(b, Seq("g")).filter(col("uid_a") < col("uid_b"))
       .select(
-        graft.functions.Fns.cosineCol(col("vec_a"), col("vec_b")).as("sim"),
+        graft.functions.Fns.cosineSparseCol(col("svec_a"), col("svec_b")).as("sim"),
         when(col("fam_a") >= 0 && col("fam_a") === col("fam_b"), 1).otherwise(0).as("label"))
   }
 }

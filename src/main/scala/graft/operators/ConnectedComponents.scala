@@ -38,12 +38,19 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
           maxIterations: Int = 50, verbose: Boolean = false): DataFrame = {
-    // symmetrize once; cache for reuse across iterations
+    // symmetrize once; cache for reuse across iterations. NOT deduplicated:
+    // a duplicate edge only sends a duplicate message into a min()
+    // aggregation — harmless — while a distinct() here costs a full extra
+    // shuffle of the edge list every run (measured as a fixed ~2 s barrier
+    // at bench scale, pure overhead at any scale).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // `vertices` must be DISTINCT ids: labels seed the per-round join with
+    // sym, so a vertex duplicated d times would match its d edge rows d
+    // times each — d^2 messages for a degree-d vertex. (Duplicate rows in
+    // the groupBy alone would be harmless; the join is what explodes.)
     var labels = vertices.select(col("id"), col("id").as("component"))
     var iter = 0
     var converged = false

@@ -115,7 +115,10 @@ object DedupPipeline {
     val base = pages
       .select(col("url"), col("warc_ts"), col("text"))
       .withColumn("sig", Fns.signaturesUdf(cfg.shingleK, cfg.numHashes, cfg.seed)(col("text")))
-      .withColumn("vec", Fns.embedUdf(col("text")))
+      // sparse embedding: (bucket, count) pairs + norm — ~2.5x fewer bytes
+      // into the verify shuffle than the dense 384-float form, cosine
+      // bitwise-identical (HashingEmbedder.embedSparse)
+      .withColumn("svec", Fns.embedSparseUdf(col("text")))
     val cols = Seq(
       uidOf(col("url")).as("uid"),
       col("url"), col("warc_ts"),
@@ -123,7 +126,7 @@ object DedupPipeline {
       col("sig.minhash").as("minhash"),
       col("sig.simhash").as("simhash"),
       col("sig.nShingles").as("n_shingles"),
-      col("vec")) ++ (if (withText) Seq(col("text")) else Nil)
+      col("svec")) ++ (if (withText) Seq(col("text")) else Nil)
     base.select(cols: _*)
   }
 
@@ -169,16 +172,16 @@ object DedupPipeline {
   def verifiedEdges(sigs: DataFrame, cand: DataFrame, cfg: DedupConfig,
                     diagnostics: Boolean = false): DataFrame = {
     val lcs = cfg.lcsMinRatio > 0
-    val lhsCols = Seq(col("uid").as("uid_a"), col("vec").as("vec_a")) ++
+    val lhsCols = Seq(col("uid").as("uid_a"), col("svec").as("svec_a")) ++
       (if (diagnostics) Seq(col("url").as("url_a"), col("minhash").as("mh_a")) else Nil) ++
       (if (lcs) Seq(col("text").as("text_a")) else Nil)
-    val rhsCols = Seq(col("uid").as("uid_b"), col("vec").as("vec_b")) ++
+    val rhsCols = Seq(col("uid").as("uid_b"), col("svec").as("svec_b")) ++
       (if (diagnostics) Seq(col("url").as("url_b"), col("minhash").as("mh_b")) else Nil) ++
       (if (lcs) Seq(col("text").as("text_b")) else Nil)
     val cosVerified = cand
       .join(sigs.select(lhsCols: _*), "uid_a")
       .join(sigs.select(rhsCols: _*), "uid_b")
-      .withColumn("cosine", Fns.cosineCol(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Fns.cosineSparseCol(col("svec_a"), col("svec_b")))
       .filter(col("cosine") >= cfg.threshold)
     // LCS is the most expensive predicate (suffix-array build per pair), so
     // it runs last, on cosine survivors only.
@@ -263,6 +266,9 @@ object DedupPipeline {
     // Only vertices that appear in at least one edge can be in a >=2
     // component; everything else is a singleton and drops out — keeps the
     // CC working set at the number of *duplicated* docs, not corpus size.
+    // The distinct() is LOAD-BEARING: labels seed the round-1 join against
+    // sym, and a vertex of degree d duplicated d times would emit d^2
+    // messages (measured 5-10x slowdown when dropped).
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
 

@@ -193,21 +193,20 @@ object Checkpoint {
       java.nio.file.Files.deleteIfExists(lockPath(root, cfgHash)): Unit
     }
 
-  private def appendRunRow(spark: SparkSession, root: String, runId: String,
-                           cfgHash: String, status: String, startedAtMs: Long,
-                           finishedAtMs: Long, error: String): Unit = {
-    import spark.implicits._
-    // The runs table is appended OUTSIDE the single-writer lock (it records
-    // the lock contention itself), so concurrent appends must be safe. The
-    // Hadoop committer is not: two simultaneous appends share
-    // <dir>/_temporary/0 and one job deletes it under the other. Write to a
-    // unique scratch dir instead and MOVE the part files in (rename is
-    // atomic; readers see whole files only).
-    val dir = java.nio.file.Paths.get(root, "runs")
-    val tmp = java.nio.file.Paths.get(root, s".runs-tmp-${java.util.UUID.randomUUID()}")
-    Seq((runId, cfgHash, status, startedAtMs, finishedAtMs, error))
-      .toDF("runId", "configHash", "status", "startedAtMs", "finishedAtMs", "errorSummary")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+  /** Concurrency-safe append of a small bookkeeping DataFrame into `dir`.
+    *
+    * The Hadoop committer is NOT safe for concurrent appends to one
+    * directory: simultaneous jobs share `<dir>/_temporary/0` and one job
+    * deletes it under the other. All bookkeeping tables (runs, gaps,
+    * metrics, checkpoints) may be appended by concurrent workers (lock
+    * contention rows, per-day lease workers), so every append writes to a
+    * unique scratch dir and MOVES the part files in — rename is atomic and
+    * readers only ever see whole files.
+    */
+  private def atomicAppend(df: DataFrame, root: String, table: String): Unit = {
+    val dir = java.nio.file.Paths.get(root, table)
+    val tmp = java.nio.file.Paths.get(root, s".$table-tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     java.nio.file.Files.createDirectories(dir)
     val parts = java.nio.file.Files.list(tmp).iterator()
     while (parts.hasNext) {
@@ -222,6 +221,16 @@ object Checkpoint {
     rm(tmp.toFile)
   }
 
+  private def appendRunRow(spark: SparkSession, root: String, runId: String,
+                           cfgHash: String, status: String, startedAtMs: Long,
+                           finishedAtMs: Long, error: String): Unit = {
+    import spark.implicits._
+    atomicAppend(
+      Seq((runId, cfgHash, status, startedAtMs, finishedAtMs, error))
+        .toDF("runId", "configHash", "status", "startedAtMs", "finishedAtMs", "errorSummary"),
+      root, "runs")
+  }
+
   /** Lifecycle rows of all runs (append-only; latest row per runId wins). */
   def runs(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -231,6 +240,66 @@ object Checkpoint {
       .orderBy(col("finishedAtMs").desc, col("status").desc)
     spark.read.parquet(dir.toString)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Per-day lease rows: N concurrent drivers drain DISJOINT days of one
+  // root/config. A lease is an atomically-created file keyed by (cfgHash,
+  // day); a worker that fails to create it skips the day (another worker
+  // owns it). Stale leases (older than the TTL — a crashed worker) are
+  // reaped with the same ATOMIC_MOVE + content-verify dance as the global
+  // lock. Complements the global single-writer lock: use the global lock
+  // for one-writer-per-config, or day leases for cooperating workers.
+  // ------------------------------------------------------------------
+
+  private def dayLeasePath(root: String, cfgHash: String, day: String) =
+    java.nio.file.Paths.get(s"$root/locks/days/$cfgHash/$day.lease")
+
+  /** Try to take the lease for `day`; true iff this run now owns it. */
+  def tryAcquireDayLease(root: String, cfgHash: String, day: String,
+                         runId: String, staleTtlMs: Long,
+                         nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val p = dayLeasePath(root, cfgHash, day)
+    java.nio.file.Files.createDirectories(p.getParent)
+    if (java.nio.file.Files.exists(p)) {
+      val content = try java.nio.file.Files.readString(p) catch {
+        case _: java.io.IOException => return false // concurrently reaped
+      }
+      content.split('|') match {
+        case Array(_, acq) if nowMs - acq.toLong > staleTtlMs =>
+          // stale: exactly one reaper wins the move; verify we moved what
+          // we read (not a fresh lease that raced in)
+          val reaped = p.resolveSibling(
+            s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
+          try {
+            java.nio.file.Files.move(p, reaped,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            if (java.nio.file.Files.readString(reaped) != content) {
+              try java.nio.file.Files.move(reaped, p,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileAlreadyExistsException =>
+                java.nio.file.Files.deleteIfExists(reaped): Unit }
+              return false
+            }
+            java.nio.file.Files.deleteIfExists(reaped): Unit
+          } catch { case _: java.nio.file.NoSuchFileException => }
+        case _ => return false // held and fresh
+      }
+    }
+    try {
+      java.nio.file.Files.createFile(p)
+      java.nio.file.Files.writeString(p, s"$runId|$nowMs")
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  def releaseDayLease(root: String, cfgHash: String, day: String, runId: String): Unit = {
+    val p = dayLeasePath(root, cfgHash, day)
+    try {
+      if (java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.readString(p).startsWith(s"$runId|"))
+        java.nio.file.Files.deleteIfExists(p): Unit
+    } catch { case _: java.io.IOException => }
   }
 
   // ------------------------------------------------------------------
@@ -245,9 +314,10 @@ object Checkpoint {
   def recordGap(spark: SparkSession, root: String, day: String, cfgHash: String,
                 error: String, retryAfterMs: Long): Unit = {
     import spark.implicits._
-    Seq((day, cfgHash, error, retryAfterMs, System.currentTimeMillis()))
-      .toDF("day", "configHash", "errorSummary", "retryAfterMs", "createdAtMs")
-      .write.mode(SaveMode.Append).parquet(s"$root/gaps")
+    atomicAppend(
+      Seq((day, cfgHash, error, retryAfterMs, System.currentTimeMillis()))
+        .toDF("day", "configHash", "errorSummary", "retryAfterMs", "createdAtMs"),
+      root, "gaps")
   }
 
   /** Open gap days with their effective retry time: has a gap row, no
@@ -338,10 +408,13 @@ object Checkpoint {
                      failAfter: Int = Int.MaxValue,
                      lockTtlMs: Long = 0L,
                      retryBackoffMs: Long = 0L,
-                     failDays: Set[String] = Set.empty): Seq[String] = {
+                     failDays: Set[String] = Set.empty,
+                     dayLeaseTtlMs: Long = 0L): Seq[String] = {
     val cfgHash = configHash(cfg)
     val runId =
       if (lockTtlMs > 0) acquireLock(spark, root, cfgHash, lockTtlMs) else ""
+    // day-lease workers need an identity even without the global lock
+    val workerId = if (runId.nonEmpty) runId else java.util.UUID.randomUUID().toString
 
     try {
       val withDay = pages.withColumn("day", Fns.dayKey(col("warc_ts")))
@@ -361,8 +434,11 @@ object Checkpoint {
       todo.foreach { day =>
         if (processed >= failAfter)
           throw new RuntimeException(s"injected failure before partition $day")
+        // cooperating-worker mode: skip days another live worker has leased
+        val leased = dayLeaseTtlMs <= 0 ||
+          tryAcquireDayLease(root, cfgHash, day, workerId, dayLeaseTtlMs)
         val t0 = System.currentTimeMillis()
-        try {
+        if (leased) try {
           if (failDays.contains(day))
             throw new RuntimeException(s"injected day failure for $day")
           val dayPages = withDay.filter(col("day") === day).drop("day")
@@ -379,18 +455,26 @@ object Checkpoint {
             nClustered - nClusters, System.currentTimeMillis() - t0, fp,
             "COMPLETED", t0)
           import spark.implicits._
-          Seq(m).toDF().write.mode(SaveMode.Append).parquet(s"$root/metrics")
+          atomicAppend(Seq(m).toDF(), root, "metrics")
           // checkpoint row LAST — commit point of the partition
-          Seq((day, cfgHash, "COMPLETED", System.currentTimeMillis()))
-            .toDF("day", "configHash", "status", "committedAtMs")
-            .write.mode(SaveMode.Append).parquet(s"$root/checkpoints")
+          atomicAppend(
+            Seq((day, cfgHash, "COMPLETED", System.currentTimeMillis()))
+              .toDF("day", "configHash", "status", "committedAtMs"),
+            root, "checkpoints")
           out += day
         } catch {
           case e: Exception =>
-            // soft failure: ledger the day with a retry-after and continue
+            // soft failure: ledger the day with a retry-after and continue;
+            // release the lease so another worker may retry the day
             recordGap(spark, root, day, cfgHash, e.getMessage,
               System.currentTimeMillis() + retryBackoffMs)
+            if (dayLeaseTtlMs > 0) releaseDayLease(root, cfgHash, day, workerId)
         }
+        // on SUCCESS the lease is deliberately kept: it marks the day done
+        // for workers whose todo list predates this commit (their stale
+        // plan would otherwise re-lease and re-process the day). A kept
+        // lease past its TTL is inert — the COMPLETED checkpoint row
+        // excludes the day from every future todo.
         if (runId.nonEmpty) heartbeat(root, cfgHash, runId)
         processed += 1
       }

@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite {
     val cfg = DedupConfig()
     val sigs = DedupPipeline.signatures(pages, cfg)
     val edges = DedupPipeline.verifiedEdges(sigs, DedupPipeline.candidates(sigs, cfg), cfg)
-    assert(planOf(edges).contains("cosinef32"), s"custom expression missing:\n${planOf(edges)}")
+    assert(planOf(edges).contains("cosinesparse"), s"custom expression missing:\n${planOf(edges)}")
     edges.collect() // finalize THIS adaptive plan (count() would plan anew)
     val plan = planOf(edges)
     // '*(n)' prefixes mark WholeStageCodegen spans in plan toString; the

@@ -83,6 +83,39 @@ class Round3Spec extends AnyFunSuite {
     assert(staleRows == 1)
   }
 
+  test("two concurrent day-lease workers drain disjoint days; union == plan") {
+    import scala.jdk.CollectionConverters._
+    val pages = PagesGen.generate(spark, 700, nDomains = 20, nDays = 6, seed = 6L)
+    val root = freshRoot()
+    val allDays = pages.select(graft.functions.Fns.dayKey(col("warc_ts")).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(allDays.size == 6)
+
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fs = (0 until 2).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          results.put(w, Checkpoint.runIncremental(spark, pages, root,
+            dayLeaseTtlMs = 600000L)): Unit
+        }
+      })
+    }
+    gate.countDown()
+    fs.foreach(_.get())
+    pool.shutdown()
+    val a = results.get(0).toSet
+    val b = results.get(1).toSet
+    assert((a & b).isEmpty, s"workers double-processed: ${a & b}")
+    assert((a | b) == allDays, s"days missed: ${allDays -- (a | b)}")
+    // every day's output exists and a fresh run has nothing left to do
+    assert(Checkpoint.completedDays(spark, root,
+      Checkpoint.configHash(graft.operators.DedupConfig())) == allDays)
+    assert(Checkpoint.runIncremental(spark, pages, root, dayLeaseTtlMs = 600000L).isEmpty)
+  }
+
   // ------------------------------------------------------------ MediaCodecs
 
   test("decodeWav rejects negative chunk lengths instead of spinning") {
@@ -182,6 +215,50 @@ class Round3Spec extends AnyFunSuite {
     (0 until 25).foreach { i =>
       assert(top.get(i.toLong).contains(i + 1000L), s"twin of $i not rank-1")
       assert(top.get(i + 1000L).contains(i.toLong), s"twin of ${i + 1000} not rank-1")
+    }
+  }
+
+  // ------------------------------------------------------------ sparse vec
+
+  test("sparse embedding + cosine are bitwise-equal to the dense reference kernel") {
+    import graft.core.HashingEmbedder
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "beta", "gamma", "δέλτα", "ёжик", "čćžš", "x")
+    val texts = Array("", " ", "ab", "aaa", "здравствуйте мир") ++
+      (0 until 200).map(_ =>
+        (0 until rnd.nextInt(200)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    // element-level parity
+    texts.foreach { t =>
+      val dense = HashingEmbedder.embed(t)
+      val sv = HashingEmbedder.embedSparse(t)
+      val rebuilt = HashingEmbedder.sparseToDense(sv.packed, sv.norm)
+      assert(java.util.Arrays.equals(
+        dense.map(java.lang.Float.floatToRawIntBits),
+        rebuilt.map(java.lang.Float.floatToRawIntBits)), s"dense mismatch for: ${t.take(40)}")
+    }
+    // pairwise cosine parity, kernel level (exact bit equality of doubles)
+    val pairs = (0 until 300).map(_ =>
+      (texts(rnd.nextInt(texts.length)), texts(rnd.nextInt(texts.length))))
+    pairs.foreach { case (a, b) =>
+      val d = HashingEmbedder.cosine(HashingEmbedder.embed(a), HashingEmbedder.embed(b))
+      val sa = HashingEmbedder.embedSparse(a)
+      val sb = HashingEmbedder.embedSparse(b)
+      val s = HashingEmbedder.cosineSparse(sa.packed, sa.norm, sb.packed, sb.norm)
+      assert(java.lang.Double.doubleToRawLongBits(d) == java.lang.Double.doubleToRawLongBits(s),
+        s"cosine mismatch $d vs $s for pair (${a.take(20)}, ${b.take(20)})")
+    }
+    // expression level (codegen path), against the kernel
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+      .withColumn("sa", graft.functions.Fns.embedSparseUdf(col("a")))
+      .withColumn("sb", graft.functions.Fns.embedSparseUdf(col("b")))
+      .withColumn("cos", graft.functions.Fns.cosineSparseCol(col("sa"), col("sb")))
+      .select("a", "b", "cos").collect()
+    df.foreach { r =>
+      val want = HashingEmbedder.cosine(
+        HashingEmbedder.embed(r.getString(0)), HashingEmbedder.embed(r.getString(1)))
+      assert(java.lang.Double.doubleToRawLongBits(want) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
     }
   }
 
