@@ -29,6 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with persisted corpora needs headroom: 8g makes the 32-thread
-  // runs GC-bound (and wrecks measured scaling); the box has 125 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // runs GC-bound (and wrecks measured scaling); the box has 125 GiB.
+  // -Xms=-Xmx + AlwaysPreTouch: this VM has multi-minute windows where
+  // first-touch of fresh guest memory runs at host page-fault speed
+  // (phantom system time, measured 90%+ sy with idle user CPU). Faulting
+  // the whole heap in ONCE at JVM start moves that cost out of every
+  // timed run — heap pages are then reused, never re-faulted.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -151,9 +151,10 @@ object Bench {
   final case class Run(cpus: Int, sec: Double, docsPerSec: Double,
                        cpuCoreSec: Double, gcSec: Double,
                        readMb: Double, shuffleMb: Double,
-                       stealSec: Double, sysSec: Double) {
+                       stealSec: Double, sysSec: Double,
+                       aborted: Boolean = false) {
     def json: String =
-      f"""{"cpus":$cpus,"sec":$sec%.2f,"docs_per_sec":$docsPerSec%.1f,"cpu_core_sec":$cpuCoreSec%.1f,"gc_sec":$gcSec%.1f,"read_mb":$readMb%.1f,"shuffle_mb":$shuffleMb%.1f,"host_steal_sec":$stealSec%.1f,"host_sys_sec":$sysSec%.1f}"""
+      f"""{"cpus":$cpus,"sec":$sec%.2f,"docs_per_sec":$docsPerSec%.1f,"cpu_core_sec":$cpuCoreSec%.1f,"gc_sec":$gcSec%.1f,"read_mb":$readMb%.1f,"shuffle_mb":$shuffleMb%.1f,"host_steal_sec":$stealSec%.1f,"host_sys_sec":$sysSec%.1f,"aborted":$aborted}"""
   }
 
   /** (user+nice, system, steal) CPU seconds from /proc/stat — hypervisor
@@ -167,32 +168,66 @@ object Bench {
 
   /** Timed dedup run at a given parallelism over the pre-generated corpus.
     * Corpus read+persist happens before the clock.
+    *
+    * `capSec`: a daemon watchdog cancels all jobs once the cap elapses and
+    * the run is recorded as `aborted` with its elapsed time. This host has
+    * multi-minute windows where guest threads run at a fraction of speed
+    * (phantom system time — see BASELINE.md); a poisoned run would
+    * otherwise take tens of minutes to produce a number that best-of-N
+    * discards anyway. Truncating it is statistically neutral for a
+    * best-of estimator (the abandoned sample could only have been worse
+    * than the cap implies) and bounds the artifact's wall time.
     */
-  private def dedupThroughput(cpus: Int, corpusPath: String, nDocs: Long): Run = {
+  private def dedupThroughput(cpus: Int, corpusPath: String, nDocs: Long,
+                              capSec: Long): Run = {
     val spark = build(cpus)
+    val wallT0 = System.nanoTime()
+    @volatile var fired = false
+    val watchdog = new Thread(() => {
+      try {
+        Thread.sleep(capSec * 1000L)
+        fired = true
+        spark.sparkContext.cancelAllJobs()
+      } catch { case _: InterruptedException => () }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     try {
       val agg = new TaskAgg
       spark.sparkContext.addSparkListener(agg)
-      val pages = spark.read.parquet(corpusPath)
-        .select("url", "warc_ts", "text") // only what the pipeline reads
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pages.count() // materialize input outside the timed section
-      agg.cpuNs.set(0); agg.gcMs.set(0); agg.readB.set(0)
-      agg.shufRB.set(0); agg.shufWB.set(0)
       val h0 = hostCpu()
-      val t0 = System.nanoTime()
-      val n = DedupPipeline.run(spark, pages, DedupConfig()).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val h1 = hostCpu()
-      Thread.sleep(500) // let the async listener bus drain the last taskEnds
-      val run = Run(cpus, sec, nDocs / sec, agg.cpuNs.get / 1e9,
-        agg.gcMs.get / 1e3, agg.readB.get / 1e6,
-        (agg.shufRB.get + agg.shufWB.get) / 1e6,
-        h1._3 - h0._3, h1._2 - h0._2)
-      System.err.println(f"[bench] cpus=$cpus%2d sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f cpu=${run.cpuCoreSec}%7.1f gc=${run.gcSec}%5.1f shuf_mb=${run.shuffleMb}%8.1f steal=${run.stealSec}%5.1f sys=${run.sysSec}%6.1f out=$n")
-      pages.unpersist()
-      run
-    } finally spark.stop()
+      try {
+        val pages = spark.read.parquet(corpusPath)
+          .select("url", "warc_ts", "text") // only what the pipeline reads
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pages.count() // materialize input outside the timed section
+        agg.cpuNs.set(0); agg.gcMs.set(0); agg.readB.set(0)
+        agg.shufRB.set(0); agg.shufWB.set(0)
+        val t0 = System.nanoTime()
+        val n = DedupPipeline.run(spark, pages, DedupConfig()).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val h1 = hostCpu()
+        Thread.sleep(500) // let the async listener bus drain the last taskEnds
+        val run = Run(cpus, sec, nDocs / sec, agg.cpuNs.get / 1e9,
+          agg.gcMs.get / 1e3, agg.readB.get / 1e6,
+          (agg.shufRB.get + agg.shufWB.get) / 1e6,
+          h1._3 - h0._3, h1._2 - h0._2)
+        System.err.println(f"[bench] cpus=$cpus%2d sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f cpu=${run.cpuCoreSec}%7.1f gc=${run.gcSec}%5.1f shuf_mb=${run.shuffleMb}%8.1f steal=${run.stealSec}%5.1f sys=${run.sysSec}%6.1f out=$n")
+        pages.unpersist()
+        run
+      } catch {
+        case e: Throwable if fired =>
+          val h1 = hostCpu()
+          val sec = (System.nanoTime() - wallT0) / 1e9
+          System.err.println(f"[bench] cpus=$cpus%2d ABORTED at cap ${capSec}s (host window poisoned; sys=${h1._2 - h0._2}%.0fs steal=${h1._3 - h0._3}%.0fs)")
+          Run(cpus, sec, nDocs / sec, agg.cpuNs.get / 1e9, agg.gcMs.get / 1e3,
+            agg.readB.get / 1e6, (agg.shufRB.get + agg.shufWB.get) / 1e6,
+            h1._3 - h0._3, h1._2 - h0._2, aborted = true)
+      }
+    } finally {
+      watchdog.interrupt()
+      spark.stop()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -209,15 +244,17 @@ object Bench {
       else "target"
     val corpusPath = s"$scratch/corpus-${ProcessHandle.current().pid()}.parquet"
 
-    val spark = build(8) // query/gen session
+    val spark = build(hiCpus) // query/gen session (gen is the big cost)
     // scaling corpus: sized so distributed compute dominates the pipeline's
     // serial job barriers at the lo level. Time model t(p) = C/p + F with
     // measured C ~ 0.8 core-ms/doc and F ~ 8-12 s of per-run fixed cost
     // (AQE stage scheduling, CC round barriers): efficiency measures the
-    // ENGINE only when C/loCpus >> F, which needs ~2M docs at lo=8.
-    // Overridable for probes via SPARK_GRAFT_NDOCS.
+    // ENGINE only when C/loCpus >> F — 240x the sf documents count (1.2M
+    // docs at sf0.1) puts C/8 at ~12-15x F while keeping a healthy-window
+    // lo run under ~3 minutes (the watchdog cap bounds poisoned-window
+    // runs). Overridable via SPARK_GRAFT_NDOCS.
     val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong).getOrElse(
-      math.max(100000L, 400 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
+      math.max(100000L, 240 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
     val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -242,10 +279,12 @@ object Bench {
     val kHi1 = kernelDocsPerSec(hiCpus, kernelSample)
 
     // ---- fixed interleaved pairs, best-of per level ----
+    val capLo = sys.env.getOrElse("SPARK_GRAFT_CAP_LO", "360").toLong
+    val capHi = sys.env.getOrElse("SPARK_GRAFT_CAP_HI", "210").toLong
     val runs = scala.collection.mutable.ArrayBuffer[Run]()
     (1 to pairs).foreach { _ =>
-      runs += dedupThroughput(loCpus, corpusPath, nDocs)
-      runs += dedupThroughput(hiCpus, corpusPath, nDocs)
+      runs += dedupThroughput(loCpus, corpusPath, nDocs, capLo)
+      runs += dedupThroughput(hiCpus, corpusPath, nDocs, capHi)
     }
     val bestLo = runs.filter(_.cpus == loCpus).maxBy(_.docsPerSec)
     val bestHi = runs.filter(_.cpus == hiCpus).maxBy(_.docsPerSec)

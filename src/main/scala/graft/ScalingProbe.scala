@@ -18,8 +18,7 @@ object ScalingProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
-        else System.getProperty("java.io.tmpdir"))
+        sys.env.getOrElse("SPARK_GRAFT_LOCALDIR", System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

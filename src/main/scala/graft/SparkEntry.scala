@@ -418,12 +418,17 @@ object SparkEntry {
     }),
 
     // three-phase block dedup (SURVEY §2.5 A3 + §2.4 J4 + §2.5 A4) over a
-    // deterministic nested-block synthesis seeded by the documents table
+    // deterministic nested-block synthesis seeded by the documents table.
+    // ORACLE-EXACT since round 3: titles are synthesized mutually
+    // non-similar (id + md5 — trigram cosine ~0.1), so the fuzzy phase is
+    // provably a no-op on this input (it stays covered by BlockDedupSpec's
+    // reference-port fixtures) and DuckDB replays exact-collapse + strict
+    // subset absorption + chain resolution + renumber + section remap.
     "p_block_dedup" -> ((s, dir) => {
       val docs = ld(s, dir, "documents").filter(col("doc_id") < 120)
       val blocks = docs.select(
         col("doc_id").as("idx"),
-        substring(col("text"), 1, 40).as("title"),
+        concat(lit("b"), col("doc_id"), lit("-"), md5(col("text").cast("binary"))).as("title"),
         // nested id sets: block i holds ids pool[(i%7) .. (i%7 + i%5)]
         transform(sequence(pmod(col("doc_id"), lit(7)),
             pmod(col("doc_id"), lit(7)) + pmod(col("doc_id"), lit(5))),
@@ -783,6 +788,52 @@ object SparkEntry {
         |   ELSE 0 END AS INT) AS duration_ms,
         | md5(hex(bytes)) AS content_md5
         |FROM b ORDER BY media_id""".stripMargin,
+    "p_block_dedup" ->
+      """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |blocks AS (SELECT doc_id AS idx,
+        |  'b' || CAST(doc_id AS VARCHAR) || '-' || md5(text) AS title,
+        |  ['a' || CAST(x AS VARCHAR)
+        |   for x in range(doc_id % 7, doc_id % 7 + doc_id % 5 + 1)] AS aids
+        | FROM docs),
+        |keyed AS (SELECT idx, title, aids,
+        |  list_sort(list_distinct(aids)) AS key FROM blocks),
+        |p1 AS (SELECT idx, key,
+        |  row_number() OVER (PARTITION BY key
+        |    ORDER BY length(title) DESC, idx ASC) AS rn FROM keyed),
+        |p1win AS (SELECT key, idx AS winner FROM p1 WHERE rn = 1),
+        |phase1 AS (SELECT k.idx, w.winner FROM keyed k JOIN p1win w USING (key)),
+        |uniq AS (SELECT k.idx AS uidx, k.key, len(k.key) AS ksz
+        |         FROM keyed k JOIN p1win w ON k.idx = w.winner AND k.key = w.key),
+        |subs AS (SELECT a.uidx AS i, b.uidx AS j, b.ksz AS szj
+        |  FROM uniq a JOIN uniq b
+        |  ON a.uidx <> b.uidx AND a.ksz < b.ksz AND list_has_all(b.key, a.key)),
+        |absorbed AS (SELECT i, j AS target FROM (
+        |  SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY szj, j) AS rn
+        |  FROM subs) WHERE rn = 1),
+        |hop(u, w) AS (
+        |  SELECT i, target FROM absorbed
+        |  UNION
+        |  SELECT h.u, a.target FROM hop h JOIN absorbed a ON h.w = a.i),
+        |term AS (SELECT u, w FROM hop
+        |  WHERE w NOT IN (SELECT i FROM absorbed)),
+        |fullmap AS (SELECT p.idx AS o, coalesce(t.w, p.winner) AS fw
+        |  FROM phase1 p LEFT JOIN term t ON p.winner = t.u),
+        |finals AS (SELECT DISTINCT fw FROM fullmap),
+        |renum AS (SELECT fw AS oldidx,
+        |  row_number() OVER (ORDER BY fw) - 1 AS new_idx FROM finals),
+        |o2n AS (SELECT f.o, r.new_idx FROM fullmap f JOIN renum r ON f.fw = r.oldidx),
+        |secpairs AS (SELECT DISTINCT d.doc_id % 5 AS section_id, m.new_idx
+        |  FROM docs d JOIN o2n m ON d.doc_id = m.o WHERE d.doc_id < 30),
+        |secs AS (SELECT new_idx,
+        |  string_agg(CAST(section_id AS VARCHAR), ',' ORDER BY section_id) AS s
+        |  FROM secpairs GROUP BY new_idx)
+        |SELECT r.new_idx AS idx, b.title,
+        |  array_to_string(b.aids, ',') AS article_ids,
+        |  coalesce(s.s, '') AS sections
+        |FROM renum r JOIN blocks b ON b.idx = r.oldidx
+        |LEFT JOIN secs s ON s.new_idx = r.new_idx
+        |ORDER BY idx""".stripMargin,
     "p_simhash_pairs" ->
       """WITH c AS MATERIALIZED (
         | SELECT url, simhash

@@ -59,11 +59,24 @@ object ConnectedComponents {
       // neighbor labels flow along edges; vertex keeps min(self, neighbors).
       // `own` marks the vertex's current label so the same aggregation also
       // yields the previous label for the convergence check.
+      //
+      // Round 1 fuses a SECOND hop into the same checkpointed job: dedup
+      // components are near-cliques, so two hops usually reach the
+      // component minimum outright — one fewer round barrier and one fewer
+      // convergence-check job than single-hop (the round-1 check is
+      // skipped regardless, so the fused hop needs no prev tracking).
+      val base =
+        if (iter == 0) {
+          val m0 = sym.join(labels, sym("src") === labels("id"))
+            .select(sym("dst").as("id"), col("component"))
+          labels.select(col("id"), col("component")).union(m0)
+            .groupBy("id").agg(min(col("component")).as("component"))
+        } else labels
       val msgs = sym
-        .join(labels, sym("src") === labels("id"))
+        .join(base, sym("src") === base("id"))
         .select(sym("dst").as("id"), col("component"), lit(false).as("own"))
       val t0 = System.nanoTime()
-      val next = labels.select(col("id"), col("component"), lit(true).as("own"))
+      val next = base.select(col("id"), col("component"), lit(true).as("own"))
         .union(msgs)
         .groupBy("id")
         .agg(min(col("component")).as("component"),
