@@ -247,14 +247,14 @@ object Bench {
     val spark = build(hiCpus) // query/gen session (gen is the big cost)
     // scaling corpus: sized so distributed compute dominates the pipeline's
     // serial job barriers at the lo level. Time model t(p) = C/p + F with
-    // measured C ~ 0.8 core-ms/doc and F ~ 8-12 s of per-run fixed cost
+    // measured C ~ 2 core-ms/doc and F ~ 8-12 s of per-run fixed cost
     // (AQE stage scheduling, CC round barriers): efficiency measures the
-    // ENGINE only when C/loCpus >> F — 240x the sf documents count (1.2M
-    // docs at sf0.1) puts C/8 at ~12-15x F while keeping a healthy-window
-    // lo run under ~3 minutes (the watchdog cap bounds poisoned-window
-    // runs). Overridable via SPARK_GRAFT_NDOCS.
+    // ENGINE only when C/loCpus >> F — 120x the sf documents count (600k
+    // docs at sf0.1) puts C/8 at ~15x F while keeping a healthy-window lo
+    // run (~160 s) comfortably under the watchdog cap, so a healthy run is
+    // never truncated. Overridable via SPARK_GRAFT_NDOCS.
     val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong).getOrElse(
-      math.max(100000L, 240 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
+      math.max(100000L, 120 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
     val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
