@@ -624,6 +624,59 @@ object SparkEntry {
         |     (length(trim(text)) - length(replace(trim(text), ' ', '')))) * 100.0 /
         |     len(string_split_regex(trim(text), '\s+'))) AS BIGINT) END AS mean_token_len_c
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_fingerprints" ->
+      // full 64-bit kernel replication in SQL: FNV-1a + splitmix64 via
+      // HUGEINT split-multiplication (wrapping 64-bit arithmetic), winnow
+      // minima via a 4-row sliding window; bit-exact vs the Scala kernel
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents),
+        |-- fingerprint: FNV-1a over ws-collapsed stripped lowercase codepoints, then mix64
+        |fcps AS (
+        | SELECT doc_id, list_prepend(14695981039346656037::HUGEINT,
+        |   [unicode(x)::HUGEINT for x in
+        |    string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '')]) AS l
+        | FROM docs),
+        |f0 AS (SELECT doc_id, list_reduce(l, (a, b) -> (((((xor(CAST((a) // 4294967296 AS BIGINT), CAST((b) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((a) % 4294967296 AS BIGINT), CAST((b) % 4294967296 AS BIGINT))::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616)) AS z FROM fcps),
+        |f1 AS (SELECT doc_id, (((z) + 11400714819323198485::HUGEINT) % 18446744073709551616) AS z FROM f0),
+        |f2 AS (SELECT doc_id, ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 1073741824)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 1073741824)) % 4294967296 AS BIGINT))::HUGEINT)) % 4294967296) * 13787848793156543929::HUGEINT + ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 1073741824)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 1073741824)) % 4294967296 AS BIGINT))::HUGEINT)) // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM f1),
+        |f3 AS (SELECT doc_id, ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 134217728)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 134217728)) % 4294967296 AS BIGINT))::HUGEINT)) % 4294967296) * 10723151780598845931::HUGEINT + ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 134217728)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 134217728)) % 4294967296 AS BIGINT))::HUGEINT)) // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM f2),
+        |fp AS (SELECT doc_id, ((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 2147483648)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 2147483648)) % 4294967296 AS BIGINT))::HUGEINT) AS m FROM f3),
+        |-- winnow: k=7 shingle hashes over stripped lowercase (no ws collapse), w=4 minima
+        |wcps AS (
+        | SELECT doc_id,
+        |   [unicode(x)::HUGEINT for x in string_split_regex(trim(lower(text)), '')] AS l
+        | FROM docs),
+        |pos AS (
+        | SELECT doc_id, len(l) - 6 AS cnt, unnest(range(1, greatest(len(l) - 5, 1))) AS i, l
+        | FROM wcps),
+        |s0 AS (SELECT doc_id, cnt, i,
+        |  list_reduce(list_prepend(14695981039346656037::HUGEINT, l[i:i+6]),
+        |    (a, b) -> (((((xor(CAST((a) // 4294967296 AS BIGINT), CAST((b) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((a) % 4294967296 AS BIGINT), CAST((b) % 4294967296 AS BIGINT))::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616)) AS z FROM pos),
+        |s1 AS (SELECT doc_id, cnt, i, (((z) + 11400714819323198485::HUGEINT) % 18446744073709551616) AS z FROM s0),
+        |s2 AS (SELECT doc_id, cnt, i, ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 1073741824)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 1073741824)) % 4294967296 AS BIGINT))::HUGEINT)) % 4294967296) * 13787848793156543929::HUGEINT + ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 1073741824)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 1073741824)) % 4294967296 AS BIGINT))::HUGEINT)) // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM s1),
+        |s3 AS (SELECT doc_id, cnt, i, ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 134217728)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 134217728)) % 4294967296 AS BIGINT))::HUGEINT)) % 4294967296) * 10723151780598845931::HUGEINT + ((((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 134217728)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 134217728)) % 4294967296 AS BIGINT))::HUGEINT)) // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296) % 18446744073709551616) AS z FROM s2),
+        |sh AS (SELECT doc_id, cnt, i, ((xor(CAST((z) // 4294967296 AS BIGINT), CAST((((z) // 2147483648)) // 4294967296 AS BIGINT))::HUGEINT) * 4294967296 + xor(CAST((z) % 4294967296 AS BIGINT), CAST((((z) // 2147483648)) % 4294967296 AS BIGINT))::HUGEINT) AS h FROM s3),
+        |wins AS (
+        | SELECT doc_id, cnt, i,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        | FROM sh),
+        |nw AS (
+        | SELECT doc_id, count(DISTINCT m) AS n_winnow
+        | FROM wins WHERE i <= cnt - 3 GROUP BY doc_id),
+        |wfinal AS (
+        | SELECT d.doc_id,
+        |  CASE WHEN coalesce(c.cnt, 0) <= 0 THEN 0
+        |       WHEN c.cnt <= 4 THEN 1
+        |       ELSE n.n_winnow END AS n_winnow
+        | FROM docs d
+        | LEFT JOIN (SELECT DISTINCT doc_id, cnt FROM pos) c ON d.doc_id = c.doc_id
+        | LEFT JOIN nw n ON d.doc_id = n.doc_id)
+        |SELECT f.doc_id,
+        | CAST(CASE WHEN f.m >= 9223372036854775808 THEN f.m - 18446744073709551616 ELSE f.m END AS BIGINT) AS fingerprint,
+        | CAST(w.n_winnow AS INT) AS n_winnow
+        |FROM fp f JOIN wfinal w ON f.doc_id = w.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "d_quality_full" ->
       """WITH t AS (
         | SELECT doc_id, text, length(text) AS n,
