@@ -255,6 +255,10 @@ object Bench {
     // never truncated. Overridable via SPARK_GRAFT_NDOCS.
     val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong).getOrElse(
       math.max(100000L, 120 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
+    // materialize the oracle aux parquet OUTSIDE the timed loop (no-op when
+    // fresh on disk) — round-3's p_dedup_clusters regression was this write
+    // landing inside the timed query
+    SparkEntry.ensureAux(spark)
     val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -286,16 +290,32 @@ object Bench {
       runs += dedupThroughput(loCpus, corpusPath, nDocs, capLo)
       runs += dedupThroughput(hiCpus, corpusPath, nDocs, capHi)
     }
-    val bestLo = runs.filter(_.cpus == loCpus).maxBy(_.docsPerSec)
-    val bestHi = runs.filter(_.cpus == hiCpus).maxBy(_.docsPerSec)
-    val eff = bestHi.docsPerSec / (4.0 * bestLo.docsPerSec)
+    // Best-of per level over COMPLETED runs only. An aborted run's
+    // docs_per_sec is nDocs/elapsed for work never finished — an upper
+    // bound on a throughput it never achieved — so it must not compete in
+    // the max. If a level has NO completed run the headline is marked
+    // invalid (all_aborted) rather than built from a phantom number.
+    def bestOf(cpus: Int): (Run, Boolean) = {
+      val (completed, aborted) = runs.filter(_.cpus == cpus).partition(!_.aborted)
+      if (completed.nonEmpty) (completed.maxBy(_.docsPerSec), false)
+      else (aborted.maxBy(_.docsPerSec).copy(docsPerSec = 0.0), true)
+    }
+    val (bestLo, loAllAborted) = bestOf(loCpus)
+    val (bestHi, hiAllAborted) = bestOf(hiCpus)
+    val levelsValid = !loAllAborted && !hiAllAborted
+    // actual core ratio, not a hard-coded 4 (SPARK_GRAFT_CPUS may not be
+    // divisible by 4; loCpus = max(1, hi/4) floors)
+    val coreRatio = hiCpus.toDouble / loCpus
+    val eff =
+      if (levelsValid) bestHi.docsPerSec / (coreRatio * bestLo.docsPerSec)
+      else 0.0
 
     // ---- controls, window 2 (after the timed runs) ----
     val kLo2 = kernelDocsPerSec(loCpus, kernelSample)
     val kHi2 = kernelDocsPerSec(hiCpus, kernelSample)
     val kLo = math.max(kLo1, kLo2)
     val kHi = math.max(kHi1, kHi2)
-    val kernelEff = kHi / (4.0 * kLo)
+    val kernelEff = kHi / (coreRatio * kLo)
     val bwLo = memBandwidthGBps(loCpus)
     val bwHi = memBandwidthGBps(hiCpus)
 
@@ -311,6 +331,6 @@ object Bench {
     val controls =
       f"""{"kernel":{"docs_per_sec_lo":$kLo%.0f,"docs_per_sec_hi":$kHi%.0f,"efficiency":$kernelEff%.3f},"membw_gbps":{"lo":$bwLo%.1f,"hi":$bwHi%.1f},"pipeline_cpu_core_sec":{"lo":${bestLo.cpuCoreSec}%.1f,"hi":${bestHi.cpuCoreSec}%.1f},"bytes_per_doc":{"read":${bestHi.readMb * 1e6 / nDocs}%.0f,"shuffle":${bestHi.shuffleMb * 1e6 / nDocs}%.0f},"eff_vs_kernel":${eff / kernelEff}%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$nDocs,"cpus":${bestHi.cpus},"sec":${bestHi.sec}%.3f,"docs_per_sec":${bestHi.docsPerSec}%.1f},"scaling":{"cpus_lo":$loCpus,"docs_per_sec_lo":${bestLo.docsPerSec}%.1f,"cpus_hi":$hiCpus,"docs_per_sec_hi":${bestHi.docsPerSec}%.1f,"efficiency":$eff%.3f,"controls":$controls,"runs":$rawRuns}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$nDocs,"cpus":${bestHi.cpus},"sec":${bestHi.sec}%.3f,"docs_per_sec":${bestHi.docsPerSec}%.1f,"all_aborted":$hiAllAborted},"scaling":{"cpus_lo":$loCpus,"docs_per_sec_lo":${bestLo.docsPerSec}%.1f,"cpus_hi":$hiCpus,"docs_per_sec_hi":${bestHi.docsPerSec}%.1f,"core_ratio":$coreRatio%.1f,"efficiency":$eff%.3f,"all_aborted_lo":$loAllAborted,"all_aborted_hi":$hiAllAborted,"controls":$controls,"runs":$rawRuns}}""")
   }
 }

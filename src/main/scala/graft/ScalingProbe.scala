@@ -33,13 +33,33 @@ object ScalingProbe {
     levels.foreach { cpus =>
       val spark = build(cpus)
       try {
+        // same per-task metrics as Bench: cpu/gc/read/shuffle attribution
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong
+        val gcMs = new java.util.concurrent.atomic.AtomicLong
+        val readB = new java.util.concurrent.atomic.AtomicLong
+        val shufB = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = te.taskMetrics
+              if (m != null) {
+                cpuNs.addAndGet(m.executorCpuTime)
+                gcMs.addAndGet(m.jvmGCTime)
+                readB.addAndGet(m.inputMetrics.bytesRead)
+                shufB.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+                  m.shuffleWriteMetrics.bytesWritten): Unit
+              }
+            }
+          })
         val pages = PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pages.count()
+        cpuNs.set(0); gcMs.set(0); readB.set(0); shufB.set(0)
         val t0 = System.nanoTime()
         val n = DedupPipeline.run(spark, pages, cfg).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] cpus=$cpus%2d nDocs=$nDocs sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f outRows=$n")
+        Thread.sleep(500) // drain the async listener bus
+        println(f"[probe] cpus=$cpus%2d nDocs=$nDocs sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f outRows=$n cpu_core_sec=${cpuNs.get / 1e9}%8.1f gc_sec=${gcMs.get / 1e3}%6.1f read_mb=${readB.get / 1e6}%9.1f shuffle_mb=${shufB.get / 1e6}%9.1f shuffle_b_per_doc=${shufB.get / nDocs}%6d")
         pages.unpersist()
       } finally spark.stop()
     }

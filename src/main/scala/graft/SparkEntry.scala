@@ -37,16 +37,47 @@ object SparkEntry {
   @volatile private var dedupAuxDone = false
   @volatile private var mediaAuxDone = false
 
+  /** Bump whenever PagesGen / signatures / Multimodal GENERATION semantics
+    * change: the on-disk marker invalidates stale aux parquet written by
+    * older code. With a fresh marker the export is skipped entirely, so
+    * repeat invocations (and the bench's timed `p_dedup_clusters` run)
+    * don't pay the write (BENCH_r03 regression: the export inside the
+    * timed query cost ~2 s).
+    */
+  private val AuxVersion = "r4-1"
+
+  private def auxFresh(name: String): Boolean = {
+    val m = java.nio.file.Paths.get(s"$AuxDir/$name.marker")
+    java.nio.file.Files.exists(m) &&
+      java.nio.file.Files.readString(m) == AuxVersion &&
+      new java.io.File(s"$AuxDir/$name.parquet").exists()
+  }
+
+  private def markAux(name: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(AuxDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$AuxDir/$name.marker"), AuxVersion): Unit
+  }
+
+  /** Materialize both oracle aux tables (no-op when fresh on disk). The
+    * bench calls this BEFORE its timed query loop so the export cost never
+    * lands inside a timed query.
+    */
+  def ensureAux(s: SparkSession): Unit = { dedupAuxPages(s); mediaAux(s); () }
+
   /** Deterministic 3k-doc dedup corpus; side-effect-writes
     * (url, warc_ts, n_chars, simhash, vec) for the DuckDB oracle.
     */
   private def dedupAuxPages(s: SparkSession): DataFrame = {
     val pages = PagesGen.generate(s, nDocs = 3000, nDomains = 100, seed = 42L)
     if (!dedupAuxDone) synchronized { if (!dedupAuxDone) {
-      DedupPipeline.signatures(pages, DedupConfig())
-        .select(col("url"), col("warc_ts"), col("n_chars"), col("simhash"),
-          Fns.sparseToDenseUdf(col("svec")).as("vec")) // exact dense form for DuckDB
-        .coalesce(4).write.mode("overwrite").parquet(s"$AuxDir/dedup_corpus.parquet")
+      if (!auxFresh("dedup_corpus")) {
+        DedupPipeline.signatures(pages, DedupConfig())
+          .select(col("url"), col("warc_ts"), col("n_chars"), col("simhash"),
+            Fns.sparseToDenseUdf(col("svec")).as("vec")) // exact dense form for DuckDB
+          .coalesce(4).write.mode("overwrite").parquet(s"$AuxDir/dedup_corpus.parquet")
+        markAux("dedup_corpus")
+      }
       dedupAuxDone = true
     } }
     pages
@@ -59,8 +90,11 @@ object SparkEntry {
   private def mediaAux(s: SparkSession): DataFrame = {
     val media = Multimodal.generateMedia(s, 200, seed = 42L)
     if (!mediaAuxDone) synchronized { if (!mediaAuxDone) {
-      media.select("media_id", "kind", "bytes")
-        .coalesce(2).write.mode("overwrite").parquet(s"$AuxDir/media.parquet")
+      if (!auxFresh("media")) {
+        media.select("media_id", "kind", "bytes")
+          .coalesce(2).write.mode("overwrite").parquet(s"$AuxDir/media.parquet")
+        markAux("media")
+      }
       mediaAuxDone = true
     } }
     media
@@ -254,6 +288,45 @@ object SparkEntry {
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ORACLE-CHECKABLE recall for the approximate path. The sf embeddings
+    // table has no close pairs (best all-pairs cosine ~0.51 at sf0.01), so
+    // an honest recall-1.0 assertion is only meaningful on a corpus with
+    // true near neighbors: the aux dedup corpus (real near-dup families at
+    // cosine >= 0.90, vectors on disk for DuckDB). Queries = the first 20
+    // docs (by url) whose exact top-3 are ALL >= 0.90; Spark emits how many
+    // of the brute-force top-3 the hyperplane-LSH path recovered, DuckDB
+    // independently recomputes the brute-force sets and asserts n_hit = 3.
+    // A hash mismatch means the approximate structure lost a true neighbor.
+    "e_ann_recall" -> ((s, _) => {
+      val pages = dedupAuxPages(s)
+      val vecs = DedupPipeline.signatures(pages, DedupConfig())
+        .select(col("url").as("vec_id"),
+          Fns.sparseToDenseUdf(col("svec")).as("embedding"))
+        .persist()
+      vecs.count() // materialize before the multi-consumer fan-out
+      val top3 = Ann.bruteForceTopK(vecs, vecs, k = 3)
+      val eligible = top3.groupBy(col("query_id"))
+        .agg(min(col("cosine")).as("c3"), count(lit(1)).as("k"))
+        .filter(col("k") === 3 && col("c3") >= 0.90)
+        .select(col("query_id")).orderBy("query_id").limit(20)
+      val queries = vecs.join(
+        eligible.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"))
+      // 6-bit x 16-table hyperplane LSH: per-neighbor miss probability at
+      // cosine 0.90 is (1 - 0.857^6)^16 ~ 3e-4; deterministic planes from
+      // the seed, so the measured recall is a fixed property of the fixture
+      val approx = Ann.lshTopK(vecs, queries, k = 3,
+          bitsPerTable = 6, nTables = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top3.select(col("query_id"), col("neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      eligible.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) * 10000.0 / 3)
+            .cast("bigint").as("recall_bp"))
+        .orderBy("query_id")
     }),
 
     // ---- pages pipeline (deterministic in-session corpus; rows-only) ----
@@ -917,5 +990,36 @@ object SparkEntry {
         |    c.vec_id ASC) AS rank
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // recomputes the brute-force top-3 + the eligible-query set fully
+    // independently over the aux corpus vectors; its rows are the ASSERTION
+    // that the LSH path recovered every true neighbor (n_hit = 3 per query)
+    // NB eligibility "exact top-3 all >= 0.90" is rewritten as ">= 3
+    // neighbors at cosine >= 0.90" (equivalent: if 3+ neighbors clear 0.90
+    // the global top-3 is inside that set) so the threshold filter prunes
+    // the 9M-pair scan BEFORE the window — p_dedup_edges-class cost instead
+    // of a window over the full all-pairs product.
+    "e_ann_recall" ->
+      """WITH c AS MATERIALIZED (
+        | SELECT url, CAST(vec AS DOUBLE[]) AS vec
+        | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet')),
+        |p90 AS MATERIALIZED (
+        | SELECT a.url AS query_id, b.url AS neighbor_id,
+        |  list_dot_product(a.vec, b.vec) AS cosine
+        | FROM c a JOIN c b ON a.url <> b.url
+        | WHERE list_dot_product(a.vec, b.vec) >= 0.90),
+        |eligible AS (
+        | SELECT query_id FROM p90 GROUP BY query_id
+        | HAVING count(*) >= 3
+        | ORDER BY query_id LIMIT 20),
+        |top3 AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT p.query_id, p.neighbor_id,
+        |   row_number() OVER (PARTITION BY p.query_id
+        |     ORDER BY p.cosine DESC, p.neighbor_id ASC) AS rank
+        |  FROM p90 p JOIN eligible e USING (query_id))
+        | WHERE rank <= 3)
+        |SELECT query_id, count(*) AS n_hit,
+        | CAST(round(count(*) * 10000.0 / 3) AS BIGINT) AS recall_bp
+        |FROM top3 GROUP BY query_id ORDER BY query_id""".stripMargin)
 }

@@ -89,6 +89,15 @@ object BlockDedup {
     */
   def fuzzyMerge(spark: SparkSession, blocks: DataFrame,
                  threshold: Double = 0.90): DataFrame = {
+    // idx round-trips through a string url and back via cast("long") below;
+    // a non-integral idx would come back null and corrupt the merge map
+    // SILENTLY — fail loudly at the door instead (bigint idx contract).
+    blocks.schema("idx").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"fuzzyMerge requires an integral idx column (bigint contract), got $dt")
+    }
     // reuse the LSH+verify+CC machinery over titles (no group-size cap)
     val asPages = blocks.select(
       col("idx"), col("title").as("text"), col("article_ids"))

@@ -210,30 +210,37 @@ object DedupPipeline {
     val projected = pages.select(col("url"), col("warc_ts"), col("text"))
 
     // ---- stage 0: exact pre-collapse ---------------------------------
-    // groupBy(content hash) is skew-safe (map-side partial agg); the
-    // members join is AQE-broadcast when the duplicated-hash set is small
-    // (the common case in a deduplicated-feed corpus) and a plain shuffle
-    // join otherwise.
+    // groupBy(content hash) is skew-safe (map-side partial agg) and moves
+    // only (chash, url) — the text never enters that exchange. The corpus
+    // then meets `dupGroups` in ONE left join: rep rows are the ones whose
+    // url is the group's rep_url (or that have no group), member rows fall
+    // out of the same joined frame. dupGroups is the output of a shuffle,
+    // so AQE sizes it at runtime and broadcasts it when the
+    // duplicated-hash set is small (the common case) — then the text
+    // crosses NO wire here at all; otherwise it crosses exactly once.
+    // (Round 3 shaped this as a join + a left-anti of the same full-text
+    // frame — the corpus text shuffled TWICE, and BENCH_r03 measured
+    // shuffle ≈ read at 49 KB/doc. This stage was the bulk of it.)
     var keyed: DataFrame = null
     val (reps, members) =
       if (cfg.exactPrecollapse) {
+        // n_chars is computed MAP-SIDE here so the member-rows plan below
+        // never needs the text column: its copy of the join shuffles only
+        // (chash, url, warc_ts, n_chars) — ~90 B/row, not the document.
         keyed = projected.withColumn("chash", chashOf(col("text")))
+          .withColumn("n_chars", length(col("text")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val dupGroups = keyed.groupBy(col("chash"))
           .agg(min(col("url")).as("rep_url"), count(lit(1)).as("grp_n"))
           .filter(col("grp_n") >= 2)
-        val dupMembers = keyed.join(dupGroups, Seq("chash"))
-        val loneRows = keyed.join(dupGroups.select(col("chash")), Seq("chash"), "left_anti")
-        val repRows = loneRows.select(col("url"), col("warc_ts"), col("text"))
-          .union(dupMembers.filter(col("url") === col("rep_url"))
-            .select(col("url"), col("warc_ts"), col("text")))
+        val repRows = keyed.join(dupGroups, Seq("chash"), "left")
+          .filter(col("rep_url").isNull || col("url") === col("rep_url"))
+          .select(col("url"), col("warc_ts"), col("text"))
         // (url, warc_ts, n_chars, rep_uid, exact_grp_n) for every input row
-        val memberRows = loneRows.select(col("url"), col("warc_ts"),
-            length(col("text")).as("n_chars"),
-            uidOf(col("url")).as("rep_uid"), lit(1L).as("exact_grp_n"))
-          .union(dupMembers.select(col("url"), col("warc_ts"),
-            length(col("text")).as("n_chars"),
-            uidOf(col("rep_url")).as("rep_uid"), col("grp_n").as("exact_grp_n")))
+        val memberRows = keyed.drop("text").join(dupGroups, Seq("chash"), "left")
+          .select(col("url"), col("warc_ts"), col("n_chars"),
+            uidOf(coalesce(col("rep_url"), col("url"))).as("rep_uid"),
+            coalesce(col("grp_n"), lit(1L)).as("exact_grp_n"))
         (repRows, memberRows)
       } else {
         (projected,
@@ -272,7 +279,8 @@ object DedupPipeline {
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
 
-    val comps = ConnectedComponents.run(spark, vertices, edges)
+    val comps = ConnectedComponents.run(spark, vertices, edges,
+      verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1"))
 
     // ---- fan exact-dup members back in --------------------------------
     // component(row) = CC component of its representative, or the rep uid

@@ -42,6 +42,25 @@ object SkewOps {
     * partitions themselves.
     */
   def globalDenseIndex(df: DataFrame, order: Column, outCol: String): DataFrame = {
+    val (lazyOut, withPid) = denseIndexPlan(df, order, outCol)
+    // Materialize the result EAGERLY from the cached partitioning, then
+    // release the cache. Both halves matter: repartitionByRange SAMPLES, so
+    // a lazy result recomputed after unpersist could land rows in different
+    // partitions than the counts were taken from (wrong indices); and
+    // without the unpersist, per-day callers (BlockDedup renumbering in
+    // long incremental runs) would accumulate cached partitions for the
+    // life of the session (round-3 review finding).
+    val out = lazyOut.localCheckpoint(true)
+    withPid.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[globalDenseIndex]] plus its internal cached
+    * frame — exposed so tests can assert plan shape (no SinglePartition
+    * funnel) before the checkpoint hides it.
+    */
+  private[graft] def denseIndexPlan(df: DataFrame, order: Column,
+                                    outCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val withPid = df.repartitionByRange(order)
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
@@ -52,11 +71,12 @@ object SkewOps {
     val offsets = counts.map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
     val offsetsDf = broadcast(
       df.sparkSession.createDataFrame(offsets.toSeq).toDF("_pid", "_offset"))
-    withPid.join(offsetsDf, "_pid")
+    val out = withPid.join(offsetsDf, "_pid")
       .withColumn(outCol,
         row_number().over(Window.partitionBy(col("_pid")).orderBy(order))
           + col("_offset") - 1)
       .drop("_pid", "_offset")
+    (out, withPid)
   }
 
   /** Drop rows whose `bucketCols` group has more than `maxDf` rows.

@@ -111,12 +111,45 @@ object Checkpoint {
   }
 
   private def writeLockContent(p: java.nio.file.Path, info: LockInfo): Unit = {
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    // unique tmp name: concurrent heartbeats from day-parallel workers in
+    // one JVM must not race on a shared ".tmp" sibling
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.tmp.${java.util.UUID.randomUUID()}")
     java.nio.file.Files.writeString(tmp, s"${info.runId}|${info.acquiredAtMs}|${info.heartbeatAtMs}")
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
+
+  /** Atomically create `p` WITH its content in one step (hard-link trick:
+    * write a unique sibling, then `createLink` — link(2) is atomic
+    * create-if-absent, so no other process can ever observe `p` existing
+    * but empty). A crash between a plain createFile and the content write
+    * would otherwise leave an unparseable empty lock/lease that blocks all
+    * workers forever (round-3 review finding). Returns false if `p` already
+    * exists (lost the race). Falls back to create-then-write on filesystems
+    * without hard links — there the mtime-TTL reap path below covers the
+    * torn-create window.
+    */
+  private def atomicCreateWithContent(p: java.nio.file.Path, content: String): Boolean = {
+    val tmp = p.resolveSibling(s".${p.getFileName}.new.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, content)
+    try { java.nio.file.Files.createLink(p, tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        try {
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.writeString(p, content)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+  }
+
+  /** File mtime in ms, or None if it vanished concurrently. */
+  private def mtimeMs(p: java.nio.file.Path): Option[Long] =
+    try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    catch { case _: java.io.IOException => None }
 
   /** Acquire the single-writer lock or throw. A stale lock (heartbeat older
     * than `staleTtlMs`) is auto-failed first, mirroring the reference's
@@ -126,11 +159,27 @@ object Checkpoint {
                   staleTtlMs: Long, nowMs: Long = System.currentTimeMillis()): String = {
     val p = lockPath(root, cfgHash)
     java.nio.file.Files.createDirectories(p.getParent)
-    readLock(root, cfgHash).foreach { held =>
-      if (nowMs - held.heartbeatAtMs <= staleTtlMs)
+    // raw content + parsed form: an UNPARSEABLE lock (torn create on a
+    // no-hardlink filesystem) must not block forever — it goes stale by
+    // file mtime instead of by heartbeat.
+    val raw: Option[String] =
+      if (!java.nio.file.Files.exists(p)) None
+      else try Some(java.nio.file.Files.readString(p))
+      catch { case _: java.io.IOException => None } // concurrently reaped
+    raw.foreach { content =>
+      val held = content.split('|') match {
+        case Array(id, acq, hb) => Some(LockInfo(id, acq.toLong, hb.toLong))
+        case _ => None
+      }
+      val fresh = held match {
+        case Some(info) => nowMs - info.heartbeatAtMs <= staleTtlMs
+        case None => mtimeMs(p).exists(m => nowMs - m <= staleTtlMs)
+      }
+      if (fresh)
         throw new IllegalStateException(
           s"another run is already active for this root/config " +
-            s"(runId=${held.runId}, heartbeat ${nowMs - held.heartbeatAtMs} ms ago)")
+            held.map(i => s"(runId=${i.runId}, heartbeat ${nowMs - i.heartbeatAtMs} ms ago)")
+              .getOrElse("(unparseable lock, recent mtime)"))
       // stale: reap ATOMICALLY — move the lock file aside to a unique reap
       // name first. ATOMIC_MOVE guarantees exactly one of N concurrent
       // reapers wins the move; a plain delete+create lets reaper B delete
@@ -145,43 +194,59 @@ object Checkpoint {
         // concurrent winner already reaped + recreated it and we just stole
         // a FRESH lock; put it back and refuse.
         val moved = java.nio.file.Files.readString(reaped)
-        if (moved != s"${held.runId}|${held.acquiredAtMs}|${held.heartbeatAtMs}") {
+        if (moved != content) {
           try java.nio.file.Files.move(reaped, p,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
-            // a third acquirer created a new lock meanwhile; the stolen
-            // lock's owner no-ops its heartbeats/release (runId check) and
-            // its writes stay idempotent per partition
+            // a third acquirer created a new lock meanwhile, so the FRESH
+            // lock we stole cannot be restored: its owner has been
+            // dispossessed. SURFACE that in the runs table (the owner's
+            // next heartbeat also throws on the runId mismatch, stopping
+            // it) instead of silently opening a two-writer window.
+            moved.split('|') match {
+              case Array(id, acq, _) =>
+                appendRunRow(spark, root, id, cfgHash, "DISPOSSESSED",
+                  acq.toLong, nowMs,
+                  "Fresh lock displaced during concurrent stale-reap race; owner must stop at next heartbeat.")
+              case _ => ()
+            }
             java.nio.file.Files.deleteIfExists(reaped): Unit
           }
           throw new IllegalStateException(
             "lock changed during stale reap; another run is active")
         }
-        appendRunRow(spark, root, held.runId, cfgHash, "STALE_FAILED",
-          held.acquiredAtMs, nowMs, "Auto-recovered stale running run after crash/interruption.")
+        held.foreach { info =>
+          appendRunRow(spark, root, info.runId, cfgHash, "STALE_FAILED",
+            info.acquiredAtMs, nowMs, "Auto-recovered stale running run after crash/interruption.")
+        }
         java.nio.file.Files.deleteIfExists(reaped): Unit
       } catch {
         case _: java.nio.file.NoSuchFileException => // another reaper won; fall
-        // through to createFile, which decides the new owner atomically
+        // through to the atomic create below, which decides the new owner
       }
     }
     val runId = java.util.UUID.randomUUID().toString
-    try java.nio.file.Files.createFile(p) // atomic: loses the race -> throws
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
+    // create WITH content in one atomic step — no observable empty-lock state
+    if (!atomicCreateWithContent(p, s"$runId|$nowMs|$nowMs"))
       throw new IllegalStateException("another run acquired the lock concurrently")
-    }
-    writeLockContent(p, LockInfo(runId, nowMs, nowMs))
     appendRunRow(spark, root, runId, cfgHash, "RUNNING", nowMs, 0L, "")
     runId
   }
 
-  /** Per-partition liveness signal (reference touch_run). No-op if the lock
-    * was lost (a reaper took it) — the caller's next commit is still safe
-    * because output writes are idempotent per partition.
+  /** Per-partition liveness signal (reference touch_run). THROWS if the
+    * lock now names a different run — this run was dispossessed (reaped as
+    * stale, or displaced in a reap race) and must stop instead of running
+    * concurrently with the new owner. A MISSING lock is a no-op (transient
+    * reap-in-flight window; the next heartbeat resolves it) — the caller's
+    * committed work stays safe because output writes are idempotent per
+    * partition.
     */
   def heartbeat(root: String, cfgHash: String, runId: String,
                 nowMs: Long = System.currentTimeMillis()): Unit =
-    readLock(root, cfgHash).filter(_.runId == runId).foreach { held =>
+    readLock(root, cfgHash).foreach { held =>
+      if (held.runId != runId)
+        throw new IllegalStateException(
+          s"run $runId was dispossessed: lock now held by ${held.runId}; stopping")
       writeLockContent(lockPath(root, cfgHash), held.copy(heartbeatAtMs = nowMs))
     }
 
@@ -265,32 +330,34 @@ object Checkpoint {
       val content = try java.nio.file.Files.readString(p) catch {
         case _: java.io.IOException => return false // concurrently reaped
       }
-      content.split('|') match {
-        case Array(_, acq) if nowMs - acq.toLong > staleTtlMs =>
-          // stale: exactly one reaper wins the move; verify we moved what
-          // we read (not a fresh lease that raced in)
-          val reaped = p.resolveSibling(
-            s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
-          try {
-            java.nio.file.Files.move(p, reaped,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            if (java.nio.file.Files.readString(reaped) != content) {
-              try java.nio.file.Files.move(reaped, p,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: java.nio.file.FileAlreadyExistsException =>
-                java.nio.file.Files.deleteIfExists(reaped): Unit }
-              return false
-            }
-            java.nio.file.Files.deleteIfExists(reaped): Unit
-          } catch { case _: java.nio.file.NoSuchFileException => }
-        case _ => return false // held and fresh
+      // staleness: by acquisition time when parseable; by file mtime when
+      // not (a torn create on a no-hardlink filesystem must not block the
+      // day forever)
+      val stale = content.split('|') match {
+        case Array(_, acq) => nowMs - acq.toLong > staleTtlMs
+        case _ => mtimeMs(p).exists(m => nowMs - m > staleTtlMs)
       }
+      if (!stale) return false // held and fresh
+      // stale: exactly one reaper wins the move; verify we moved what
+      // we read (not a fresh lease that raced in)
+      val reaped = p.resolveSibling(
+        s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
+      try {
+        java.nio.file.Files.move(p, reaped,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (java.nio.file.Files.readString(reaped) != content) {
+          try java.nio.file.Files.move(reaped, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(reaped): Unit }
+          return false
+        }
+        java.nio.file.Files.deleteIfExists(reaped): Unit
+      } catch { case _: java.nio.file.NoSuchFileException => }
     }
-    try {
-      java.nio.file.Files.createFile(p)
-      java.nio.file.Files.writeString(p, s"$runId|$nowMs")
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // create WITH content in one atomic step — a crash can no longer leave
+    // an empty lease that permanently blocks the day (round-3 finding)
+    atomicCreateWithContent(p, s"$runId|$nowMs")
   }
 
   def releaseDayLease(root: String, cfgHash: String, day: String, runId: String): Unit = {
@@ -409,7 +476,10 @@ object Checkpoint {
                      lockTtlMs: Long = 0L,
                      retryBackoffMs: Long = 0L,
                      failDays: Set[String] = Set.empty,
-                     dayLeaseTtlMs: Long = 0L): Seq[String] = {
+                     dayLeaseTtlMs: Long = 0L,
+                     maxParallelDays: Int = 1): Seq[String] = {
+    require(maxParallelDays == 1 || failAfter == Int.MaxValue,
+      "failAfter crash injection is defined for sequential drains only")
     val cfgHash = configHash(cfg)
     val runId =
       if (lockTtlMs > 0) acquireLock(spark, root, cfgHash, lockTtlMs) else ""
@@ -429,16 +499,17 @@ object Checkpoint {
         .filterNot(blocked)
       val todo = (gapDays ++ fresh).distinct
 
-      var processed = 0
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      todo.foreach { day =>
-        if (processed >= failAfter)
-          throw new RuntimeException(s"injected failure before partition $day")
+      // one day's full drain: lease -> process -> metrics -> checkpoint row
+      // (commit point) -> heartbeat. Returns true iff the day COMPLETED.
+      // Thread-safe by construction: atomicAppend writes unique scratch
+      // dirs, leases/locks are atomic files, and every Spark job here is
+      // independent — so N days can drain concurrently inside one driver.
+      def processDay(day: String): Boolean = {
         // cooperating-worker mode: skip days another live worker has leased
         val leased = dayLeaseTtlMs <= 0 ||
           tryAcquireDayLease(root, cfgHash, day, workerId, dayLeaseTtlMs)
         val t0 = System.currentTimeMillis()
-        if (leased) try {
+        val completed = if (!leased) false else try {
           if (failDays.contains(day))
             throw new RuntimeException(s"injected day failure for $day")
           val dayPages = withDay.filter(col("day") === day).drop("day")
@@ -461,7 +532,7 @@ object Checkpoint {
             Seq((day, cfgHash, "COMPLETED", System.currentTimeMillis()))
               .toDF("day", "configHash", "status", "committedAtMs"),
             root, "checkpoints")
-          out += day
+          true
         } catch {
           case e: Exception =>
             // soft failure: ledger the day with a retry-after and continue;
@@ -469,6 +540,7 @@ object Checkpoint {
             recordGap(spark, root, day, cfgHash, e.getMessage,
               System.currentTimeMillis() + retryBackoffMs)
             if (dayLeaseTtlMs > 0) releaseDayLease(root, cfgHash, day, workerId)
+            false
         }
         // on SUCCESS the lease is deliberately kept: it marks the day done
         // for workers whose todo list predates this commit (their stale
@@ -476,10 +548,41 @@ object Checkpoint {
         // lease past its TTL is inert — the COMPLETED checkpoint row
         // excludes the day from every future todo.
         if (runId.nonEmpty) heartbeat(root, cfgHash, runId)
-        processed += 1
+        completed
       }
+
+      val out: Seq[String] =
+        if (maxParallelDays <= 1) {
+          // sequential drain (gap days first — the reference's order)
+          var processed = 0
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          todo.foreach { day =>
+            if (processed >= failAfter)
+              throw new RuntimeException(s"injected failure before partition $day")
+            if (processDay(day)) acc += day
+            processed += 1
+          }
+          acc.toSeq
+        } else {
+          // intra-run day parallelism: independent day jobs submitted from a
+          // bounded pool — Spark's scheduler interleaves their stages, so
+          // the cluster isn't idle between small day jobs (the reference's
+          // bounded parallel task windows, recap/tasks/parallel.py:110-153).
+          // Results are reported in drain order regardless of completion
+          // order; checkpoints/leases are unchanged (same commit protocol).
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(maxParallelDays, math.max(1, todo.size))))
+          try {
+            val futures = todo.map { day =>
+              day -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+                def call(): Boolean = processDay(day)
+              })
+            }
+            futures.filter(_._2.get()).map(_._1)
+          } finally { pool.shutdown(): Unit }
+        }
       if (runId.nonEmpty) releaseLock(spark, root, cfgHash, runId)
-      out.toSeq
+      out
     } catch {
       case e: Throwable =>
         // hard abort: mark FAILED if we still hold the lock, then rethrow.

@@ -273,8 +273,12 @@ class Round3Spec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq == (0L until 1000L),
       "dense index must be exactly 0..n-1 in key order")
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
-    // and the plan contains no single-partition window exchange
-    val plan = out.queryExecution.executedPlan.toString
+    // and the plan contains no single-partition window exchange — asserted
+    // on the lazy twin (the public result is localCheckpoint-materialized
+    // since the round-4 cache-release fix, which hides the plan)
+    val (lazyOut, withPid) = SkewOps.denseIndexPlan(df, col("k"), "dense")
+    val plan = lazyOut.queryExecution.executedPlan.toString
+    withPid.unpersist()
     assert(!plan.contains("SinglePartition"),
       s"renumber plan funnels through one partition:\n$plan")
   }
