@@ -259,11 +259,20 @@ object Bench {
     // fresh on disk) — round-3's p_dedup_clusters regression was this write
     // landing inside the timed query
     SparkEntry.ensureAux(spark)
+    // Fixed TWO passes over the headline queries, per-query best (min).
+    // Same rationale as the dedup best-of: this host's noise windows only
+    // ever SLOW a run (the round-4 rehearsal caught the whole query loop
+    // inside a poisoned window — q5 13x, p_dedup_clusters 6x their quiet
+    // times), so min-of-fixed-N estimates the true cost without optional
+    // stopping. Pass 1 doubles as the JIT/codegen warmup for pass 2.
+    val queryPasses = sys.env.getOrElse("SPARK_GRAFT_QUERY_PASSES", "2").toInt
     val queryTimes = headline.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (1 to queryPasses).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     // one-time corpus generation (identical bytes for every level) ...
     PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)

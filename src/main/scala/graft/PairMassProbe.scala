@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupConfig, DedupPipeline}
+import graft.sources.PagesGen
+
+/** Dev-only probe: candidate-pair mass vs hamming-gate threshold plus the
+  * TRUE-edge hamming distribution, at bench-corpus scale. This is the
+  * evidence base for the SimHash pre-gate default: the gate's cost model is
+  * "every point of hamming slack admits ~X more noise-pair shuffle rows",
+  * and its recall model is "no cosine>=threshold pair exceeds hamming H at
+  * corpus scale N". Usage:
+  *   SPARK_GRAFT_NDOCS=600000 sbt "runMain graft.PairMassProbe"
+  */
+object PairMassProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_NDOCS", "600000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pairmass-probe")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scratch =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
+      else "target"
+    val corpusPath = s"$scratch/stage-corpus.parquet"
+    if (!new java.io.File(corpusPath).exists())
+      PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
+        .write.mode("overwrite").parquet(corpusPath)
+    val pages = spark.read.parquet(corpusPath).select("url", "warc_ts", "text")
+
+    val cfg = DedupConfig(simhashPregateMaxHamming = -1) // ungated
+    val sigs = DedupPipeline.signatures(pages, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[pairmass] sig rows=${sigs.count()}")
+
+    // Raw band-join pair stream (pre-dedup, pre-gate) with hamming: this is
+    // what crosses the pair-dedup exchange at a given gate. Count per
+    // hamming bucket once, derive every gate's cost from the histogram.
+    val rawPairs = DedupPipeline.candidatesRaw(sigs, cfg)
+    val hist = rawPairs.groupBy(col("simhash_hamming")).agg(count(lit(1)).as("n"))
+      .orderBy(col("simhash_hamming")).collect()
+    val total = hist.map(_.getLong(1)).sum
+    println(s"[pairmass] raw band-join pair rows (pre-dedup, pre-gate): $total")
+    var cum = 0L
+    hist.foreach { r =>
+      cum += r.getLong(1)
+      println(f"[pairmass] hamming<=${r.getInt(0)}%2d cum_rows=$cum%12d (${100.0 * cum / total}%5.1f%%)")
+    }
+
+    // Distinct candidate pairs and verified (cosine>=0.90) edges, with the
+    // true-edge hamming distribution: the recall evidence for the gate.
+    val distinctPairs = rawPairs.dropDuplicates("uid_a", "uid_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[pairmass] distinct candidate pairs: ${distinctPairs.count()}")
+    val edges = DedupPipeline.verifiedEdges(sigs, distinctPairs, cfg)
+    val edgeHist = edges.groupBy(col("simhash_hamming")).agg(count(lit(1)).as("n"))
+      .orderBy(col("simhash_hamming")).collect()
+    val eTotal = edgeHist.map(_.getLong(1)).sum
+    println(s"[pairmass] verified edges (cosine>=${cfg.threshold}): $eTotal")
+    edgeHist.foreach { r =>
+      println(f"[pairmass] EDGE hamming=${r.getInt(0)}%2d n=${r.getLong(1)}%10d")
+    }
+    val maxH = if (edgeHist.nonEmpty) edgeHist.map(_.getInt(0)).max else -1
+    println(s"[pairmass] max true-edge hamming at nDocs=$nDocs: $maxH")
+    spark.stop()
+  }
+}

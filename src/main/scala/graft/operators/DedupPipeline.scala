@@ -50,12 +50,19 @@ final case class DedupConfig(
     maxGroupSize: Int = 20,
     seed: Long = 42L,
     /** SimHash hamming pre-gate on LSH candidates, applied before the
-      * expensive embedding join. Observed true-edge (cosine>=0.90) hamming
-      * tops out at 17/64 on synthetic corpora; 26 leaves a wide margin while
-      * rejecting ~9x the random-pair mass (random hamming ~ N(32, 4)).
-      * Set < 0 to disable.
+      * expensive embedding join. Evidence (PairMassProbe, 600k-doc corpus):
+      * true-edge (cosine>=0.90) hamming peaks at 6/64 and dies ~2-3x per
+      * bit — max observed 21 at 1.3M edges (17 at the 3k oracle fixture) —
+      * while NOISE pairs (random hamming ~ N(32,4)) start dominating the
+      * distinct-candidate set above ~22: at gate 26 the verify join was 81%
+      * noise (7M pairs, 5.7M noise); at 23 it is ~2.8M pairs. Since every
+      * surviving pair ships a ~1KB embedding through the verify shuffle
+      * (the pipeline's single largest exchange), the gate is set just above
+      * the measured true-edge maximum: 23 keeps 2 bits of margin at 600k
+      * docs and 6 at fixture scale, at an expected loss rate < 1e-7 per
+      * edge (north-rule recall bar: 0.99). Set < 0 to disable.
       */
-    simhashPregateMaxHamming: Int = 26,
+    simhashPregateMaxHamming: Int = 23,
     /** Collapse byte-identical texts to one representative before LSH and
       * fan members back into components after CC. Exact-duplicate semantics
       * are unchanged (cosine of identical texts is 1.0); candidate volume
@@ -131,18 +138,54 @@ object DedupPipeline {
   }
 
   /** Candidate pairs from LSH banding: (uid_a, uid_b, simhash_hamming) with
-    * uid_a < uid_b. The 8-byte SimHash rides along in the bucket rows so the
-    * hamming pre-gate runs inside this join — before any wide payload
-    * (signature/embedding) is shuffled for a candidate that a cheap bit
-    * count can reject. Hot buckets (> cfg.maxBucketSize rows) are dropped
-    * first — see [[SkewOps.capHotBuckets]].
+    * uid_a < uid_b, deduplicated across bands. The 8-byte SimHash rides
+    * along in the bucket rows so the hamming pre-gate runs inside the band
+    * join — before any wide payload (signature/embedding) is shuffled for a
+    * candidate that a cheap bit count can reject. Hot buckets
+    * (> cfg.maxBucketSize rows) are dropped first — see
+    * [[SkewOps.capHotBuckets]].
+    *
+    * The pair stream is
+    * `repartition(uid_a)`-ed BEFORE the dedup aggregate: HashPartitioning
+    * on uid_a co-locates every copy of a (uid_a, uid_b) pair, so it
+    * satisfies the aggregate's ClusteredDistribution(uid_a, uid_b) — full
+    * dedup, one exchange — AND the deduped output stays partitioned by
+    * uid_a, which is exactly the distribution the verify join's first
+    * probe (`join ... on uid_a`) needs. Compared to a bare
+    * dropDuplicates, this removes one whole pair exchange from the hot
+    * path (StageProbe: the dedup-output→join1 exchange was 280 MB at 600k
+    * docs).
     */
-  def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    candidatesRaw(sigs, cfg)
+      .repartition(col("uid_a"))
+      .dropDuplicates("uid_a", "uid_b")
+
+  /** The band-join pair stream BEFORE cross-band deduplication: one row per
+    * (band, bucket) co-occurrence of a pair, hamming-gated. This is exactly
+    * what crosses the pair-dedup exchange; exposed for diagnostics
+    * (PairMassProbe measures its volume per gate threshold).
+    *
+    * Plan shape (the zero-extra-exchange bucket stage): the exploded
+    * bucket rows are hash-partitioned by (band, bucket) ONCE and pinned
+    * with an eager localCheckpoint. Everything downstream then reuses that
+    * single exchange's layout: the df-cap's groupBy(band, bucket) needs no
+    * exchange (partial = final), its hot set broadcasts back for the
+    * anti-join, and the LSH self-join sees both sides already partitioned
+    * on the join key — no per-side exchange, no duplicated bucket-count
+    * exchange (StageProbe measured both duplicated pre-restructure: 2x698
+    * + 2x262 MB at 600k docs; now one 700 MB write). The checkpoint blocks
+    * (~50 B/bucket-row) are freed by the ContextCleaner once the run's
+    * frames go out of scope.
+    */
+  private[graft] def candidatesRaw(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val buckets0 = sigs
       .filter(col("minhash").isNotNull)
       .select(col("uid"), col("simhash"),
         posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .repartition(col("band"), col("bucket"))
+      .localCheckpoint(eager = true)
     val buckets =
       if (cfg.maxBucketSize > 0)
         SkewOps.capHotBuckets(buckets0, Seq(col("band"), col("bucket")), cfg.maxBucketSize)
@@ -155,11 +198,9 @@ object DedupPipeline {
           col("a.uid") < col("b.uid"))
       .select(col("a.uid").as("uid_a"), col("b.uid").as("uid_b"),
         Fns.hammingCol(col("a.simhash"), col("b.simhash")).as("simhash_hamming"))
-    val gated =
-      if (cfg.simhashPregateMaxHamming >= 0)
-        joined.filter(col("simhash_hamming") <= cfg.simhashPregateMaxHamming)
-      else joined
-    gated.dropDuplicates("uid_a", "uid_b")
+    if (cfg.simhashPregateMaxHamming >= 0)
+      joined.filter(col("simhash_hamming") <= cfg.simhashPregateMaxHamming)
+    else joined
   }
 
   /** Verified duplicate edges: exact reference cosine >= threshold. Only the
