@@ -168,6 +168,41 @@ class Round4Spec extends AnyFunSuite {
       s"globalDenseIndex leaked ${leaked.size} cached RDDs")
   }
 
+  // --------------------------------------------- candidate-stage plan shape
+
+  test("candidate stage reuses the one bucket exchange: only the pair " +
+    "repartition shuffles downstream of the checkpoint") {
+    import spark.implicits._
+    val pages = PagesGen.generate(spark, 400, nDomains = 10, seed = 11L)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cfg = DedupConfig()
+      val sigs = graft.operators.DedupPipeline.signatures(pages, cfg)
+      val cand = graft.operators.DedupPipeline.candidates(sigs, cfg)
+      // The bucket rows are hash-partitioned by (band, bucket) once and
+      // pinned with a localCheckpoint; the df-cap groupBy, its anti-join
+      // probe side, and BOTH sides of the LSH self-join must reuse that
+      // layout. The only exchange allowed after the checkpoint is the
+      // explicit repartition(uid_a) feeding the pair dedup (whose output
+      // partitioning the verify join then reuses).
+      val exchanges = cand.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val nonUid = exchanges.filterNot(
+        _.outputPartitioning.toString.contains("uid_a"))
+      assert(nonUid.isEmpty,
+        s"unexpected exchange(s) downstream of the bucket checkpoint:\n" +
+          nonUid.map(e => e.outputPartitioning.toString).mkString("\n"))
+      assert(exchanges.size == 1,
+        s"expected exactly the repartition(uid_a) exchange, got " +
+          s"${exchanges.size}:\n${cand.queryExecution.executedPlan}")
+      // and the semantics are unchanged by the restructure
+      assert(cand.select("uid_a", "uid_b").distinct().count() == cand.count(),
+        "cross-band pair dedup must be complete")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   // ------------------------------------------------------ contract guards
 
   test("fuzzyMerge rejects a non-integral idx loudly") {
