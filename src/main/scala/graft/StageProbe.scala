@@ -16,6 +16,12 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_NDOCS", "600000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // At stress scale (5M docs ~ 70 GB cumulative shuffle) tmpfs pages
+    // would compete with the JVM heap for the same physical RAM, so the
+    // scratch dir must be overridable onto the real disk.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
+      else System.getProperty("java.io.tmpdir"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stage-probe")
@@ -23,9 +29,7 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,7 +64,9 @@ object StageProbe {
     val scratch =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
       else "target"
-    val corpusPath = s"$scratch/stage-corpus.parquet"
+    val corpusPath =
+      if (nDocs == 600000L) s"$scratch/stage-corpus.parquet" // shared with ShufSysProbe
+      else s"$scratch/stage-corpus-$nDocs.parquet"
     if (!new java.io.File(corpusPath).exists())
       PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
         .write.mode("overwrite").parquet(corpusPath)
