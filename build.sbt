@@ -39,7 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (phantom system time, measured 90%+ sy with idle user CPU). Faulting
   // the whole heap in ONCE at JVM start moves that cost out of every
   // timed run — heap pages are then reused, never re-faulted.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 48g default (not 32g): the 2M-doc scaling corpus holds ~15 GB of
+  // persisted frames; at 32g the executor heartbeater starves under GC
+  // and kills the JVM with exit 56 (observed on the round-4 2M rehearsal).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+AlwaysPreTouch",
 )

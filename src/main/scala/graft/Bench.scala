@@ -48,10 +48,24 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(4, cpus).toString)
+      // 4 waves of smaller tasks, not 1 wave of giant ones: at the 2M-doc
+      // corpus a cpus-sized partition count gives each hash-agg/join task a
+      // ~1 GB working set, and cpus concurrent tasks overflow the unified
+      // pool — every allocation then evicts under the UnifiedMemoryManager
+      // lock (convoy, observed live at 2M docs: 32 threads BLOCKED, 94%
+      // kernel time). 4x partitions cap per-task memory at ~1/4 and AQE
+      // coalesces any that come out small.
+      .config("spark.sql.shuffle.partitions", math.max(4, cpus * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // This host has multi-minute hypervisor windows where guest threads
+      // run at a few % of speed; the default 10 s executor heartbeat then
+      // starves and Spark kills its own (in-process) executor with exit 56
+      // — observed twice on the round-4 2M-doc rehearsals. A watchdog
+      // abort is recoverable; a heartbeat suicide kills the whole bench.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // bench-only: RAM-backed shuffle scratch (single-node stand-in for a
       // cluster's local SSDs; /tmp here is the one spinning root disk and
       // would serialize all threads behind it). Spark removes its spark-*
@@ -246,15 +260,19 @@ object Bench {
 
     val spark = build(hiCpus) // query/gen session (gen is the big cost)
     // scaling corpus: sized so distributed compute dominates the pipeline's
-    // serial job barriers at the lo level. Time model t(p) = C/p + F with
-    // measured C ~ 2 core-ms/doc and F ~ 8-12 s of per-run fixed cost
-    // (AQE stage scheduling, CC round barriers): efficiency measures the
-    // ENGINE only when C/loCpus >> F — 120x the sf documents count (600k
-    // docs at sf0.1) puts C/8 at ~15x F while keeping a healthy-window lo
-    // run (~160 s) comfortably under the watchdog cap, so a healthy run is
-    // never truncated. Overridable via SPARK_GRAFT_NDOCS.
+    // serial job barriers at the lo level. Time model t(p) = C/p + F:
+    // round-4 clean-window fits give C ~ 1.2 core-ms/doc (the shuffle cuts
+    // more than halved round 3's C) and F ~ 24 s of per-run fixed cost (AQE
+    // stage scheduling, eager-materialization barriers, CC rounds). At the
+    // old 120x corpus (600 k docs) C/8 is only ~3.6x F and the measured
+    // ceiling on 8->32 efficiency is ~0.6 REGARDLESS of engine quality;
+    // 400x (2 M docs at sf0.1) puts C/8 at ~12x F, lifting the clean-window
+    // ceiling to ~0.85+ while a healthy lo run (~330 s) stays under its
+    // watchdog cap. Needs the 48g default heap (build.sbt) — at 32g the
+    // 2 M-doc persists GC-starve the in-JVM heartbeats (exit 56).
+    // Overridable via SPARK_GRAFT_NDOCS.
     val nDocs = sys.env.get("SPARK_GRAFT_NDOCS").map(_.toLong).getOrElse(
-      math.max(100000L, 120 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
+      math.max(100000L, 400 * spark.read.parquet(s"$sfDir/documents.parquet").count()))
     // materialize the oracle aux parquet OUTSIDE the timed loop (no-op when
     // fresh on disk) — round-3's p_dedup_clusters regression was this write
     // landing inside the timed query
@@ -292,8 +310,11 @@ object Bench {
     val kHi1 = kernelDocsPerSec(hiCpus, kernelSample)
 
     // ---- fixed interleaved pairs, best-of per level ----
-    val capLo = sys.env.getOrElse("SPARK_GRAFT_CAP_LO", "360").toLong
-    val capHi = sys.env.getOrElse("SPARK_GRAFT_CAP_HI", "210").toLong
+    // caps sized for the 2 M-doc corpus: healthy-window lo ~330 s / hi
+    // ~100 s, so a healthy run is never truncated while a poisoned one
+    // (this host has multi-minute throttle windows) is cut early
+    val capLo = sys.env.getOrElse("SPARK_GRAFT_CAP_LO", "700").toLong
+    val capHi = sys.env.getOrElse("SPARK_GRAFT_CAP_HI", "400").toLong
     val runs = scala.collection.mutable.ArrayBuffer[Run]()
     (1 to pairs).foreach { _ =>
       runs += dedupThroughput(loCpus, corpusPath, nDocs, capLo)

@@ -17,6 +17,8 @@ object BenchDebug {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s") // survive host throttle windows
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed[T](name: String)(f: => T): T = {

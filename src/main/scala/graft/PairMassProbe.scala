@@ -20,10 +20,12 @@ object PairMassProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-pairmass-probe")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4 waves: cap per-task memory (see Bench.build)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s") // survive host throttle windows
+      .config("spark.network.timeout", "600s")
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
         else System.getProperty("java.io.tmpdir"))

@@ -13,10 +13,12 @@ object ScalingProbe {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-probe-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4 waves: cap per-task memory (see Bench.build)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s") // survive host throttle windows
+      .config("spark.network.timeout", "600s")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCALDIR", System.getProperty("java.io.tmpdir")))
       .getOrCreate()
@@ -51,7 +53,18 @@ object ScalingProbe {
               }
             }
           })
-        val pages = PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
+        // corpus parqueted once and shared across levels/retries (same
+        // protocol as Bench: identical input bytes per run, generation
+        // excluded from all timings)
+        val scratch =
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
+          else "target"
+        val corpusPath = s"$scratch/stage-corpus-$nDocs.parquet"
+        if (!new java.io.File(corpusPath).exists())
+          PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
+            .write.mode("overwrite").parquet(corpusPath)
+        val pages = spark.read.parquet(corpusPath)
+          .select("url", "warc_ts", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pages.count()
         cpuNs.set(0); gcMs.set(0); readB.set(0); shufB.set(0)

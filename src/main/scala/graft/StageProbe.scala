@@ -25,10 +25,12 @@ object StageProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stage-probe")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4 waves: cap per-task memory (see Bench.build)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s") // survive host throttle windows
+      .config("spark.network.timeout", "600s")
       .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
