@@ -39,10 +39,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (phantom system time, measured 90%+ sy with idle user CPU). Faulting
   // the whole heap in ONCE at JVM start moves that cost out of every
   // timed run — heap pages are then reused, never re-faulted.
-  // 48g default (not 32g): the 2M-doc scaling corpus holds ~15 GB of
+  // 48g (not 32g) on big boxes: the 2M-doc scaling corpus holds ~15 GB of
   // persisted frames; at 32g the executor heartbeater starves under GC
   // and kills the JVM with exit 56 (observed on the round-4 2M rehearsal).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The default is derived from PHYSICAL memory so a laptop-sized machine
+  // gets a heap it can actually start (48g -Xms on a 16 GiB box fails or
+  // thrashes); SPARK_DRIVER_MEM overrides either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   "-XX:+AlwaysPreTouch",
 )
+// physical-memory-scaled heap default: ~40% of RAM, clamped to [2g, 48g]
+def defaultHeap: String = {
+  val physGb: Long =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val m = os.getClass.getMethod("getTotalMemorySize")
+      m.setAccessible(true)
+      m.invoke(os).asInstanceOf[Long] >> 30
+    } catch { case _: Throwable => 16L }
+  s"${math.min(48L, math.max(2L, (physGb * 2) / 5))}g"
+}

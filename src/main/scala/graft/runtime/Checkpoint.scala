@@ -110,17 +110,6 @@ object Checkpoint {
     }
   }
 
-  private def writeLockContent(p: java.nio.file.Path, info: LockInfo): Unit = {
-    // unique tmp name: concurrent heartbeats from day-parallel workers in
-    // one JVM must not race on a shared ".tmp" sibling
-    val tmp = p.resolveSibling(
-      s"${p.getFileName}.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(tmp, s"${info.runId}|${info.acquiredAtMs}|${info.heartbeatAtMs}")
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-  }
-
   /** Atomically create `p` WITH its content in one step (hard-link trick:
     * write a unique sibling, then `createLink` — link(2) is atomic
     * create-if-absent, so no other process can ever observe `p` existing
@@ -247,8 +236,49 @@ object Checkpoint {
       if (held.runId != runId)
         throw new IllegalStateException(
           s"run $runId was dispossessed: lock now held by ${held.runId}; stopping")
-      writeLockContent(lockPath(root, cfgHash), held.copy(heartbeatAtMs = nowMs))
+      heartbeatPublish(lockPath(root, cfgHash), runId, held.acquiredAtMs, nowMs)
     }
+
+  /** CAS publish step of [[heartbeat]], separated so the read-vs-publish
+    * race is deterministically testable. A blind REPLACE_EXISTING write here
+    * would re-open the race this recovery exists to close: between the
+    * caller's read and the write, a concurrent acquirer can reap this lock
+    * as stale and create its OWN — a replace would then overwrite the new
+    * owner's lock with the stale run's id, dispossessing the legitimate
+    * owner while the stale run survives. Instead:
+    *
+    *   1. move the lock aside atomically (exactly one mover wins; a missing
+    *      lock means a reap is in flight — no-op, next heartbeat resolves);
+    *   2. verify the moved content still carries THIS runId — if not, we
+    *      stole the new owner's lock in the race: restore it byte-identical
+    *      and throw (this run stops; the owner is untouched);
+    *   3. publish the refreshed copy with createLink (atomic
+    *      create-if-absent): if any acquirer slipped a new lock into the
+    *      empty window, the link fails and THIS run throws — the window
+    *      never has two writers.
+    */
+  private[graft] def heartbeatPublish(p: java.nio.file.Path, runId: String,
+                                        acquiredAtMs: Long, nowMs: Long): Unit = {
+    val aside = p.resolveSibling(
+      s"${p.getFileName}.hb.${java.util.UUID.randomUUID()}")
+    try java.nio.file.Files.move(p, aside,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException => return }
+    def dispossessed() = new IllegalStateException(
+      s"run $runId was dispossessed during heartbeat; stopping")
+    val moved = try java.nio.file.Files.readString(aside)
+                catch { case _: java.io.IOException => "" }
+    if (!moved.startsWith(s"$runId|")) {
+      try java.nio.file.Files.move(aside, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(aside): Unit }
+      throw dispossessed()
+    }
+    val published = atomicCreateWithContent(p, s"$runId|$acquiredAtMs|$nowMs")
+    java.nio.file.Files.deleteIfExists(aside)
+    if (!published) throw dispossessed()
+  }
 
   def releaseLock(spark: SparkSession, root: String, cfgHash: String, runId: String,
                   status: String = "COMPLETED", error: String = ""): Unit =
@@ -469,6 +499,16 @@ object Checkpoint {
     * fixture — no gap row, lock left dangling, exactly like a real crash).
     * `failDays` injects a per-day processing failure that exercises the
     * soft path: gap row recorded, remaining days continue.
+    *
+    * `failAfter` and `maxParallelDays > 1` are mutually exclusive BY
+    * DESIGN, not by implementation accident: "crash after exactly N
+    * completed partitions" is only a well-defined program state in a
+    * sequential drain. Under a parallel drain the completion order is
+    * nondeterministic, so the same `failAfter` value would leave a
+    * different (and unreproducible) set of committed days each run —
+    * useless as a kill/rerun fixture and misleading as a recovery test.
+    * Callers that want parallel-drain failure coverage use `failDays`
+    * (deterministic per-day soft failures) instead.
     */
   def runIncremental(spark: SparkSession, pages: DataFrame, root: String,
                      cfg: DedupConfig = DedupConfig(),

@@ -20,6 +20,14 @@ import re
 import struct
 import sys
 
+# Byte-reproducible fixtures: the reference's group_similar iterates sets/
+# dicts whose order depends on PYTHONHASHSEED, so an unpinned run makes
+# every fixture refresh an unauditable diff (round-4 ADVICE finding).
+# Re-exec once with the seed pinned before anything imports the reference.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference/src/news_recap"
 RES_MAIN = os.path.join(REPO, "src/main/resources/graft")
