@@ -35,8 +35,14 @@ object PairMassProbe {
     val scratch =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
       else "target"
-    val corpusPath = s"$scratch/stage-corpus.parquet"
-    if (!new java.io.File(corpusPath).exists())
+    // keyed by nDocs (an unkeyed path silently reuses a differently-sized
+    // corpus across probe runs); prefer the bench's identical corpus when
+    // one already sits in tmpfs
+    val benchCorpus = s"/dev/shm/graft-bench/corpus-n$nDocs-seed42.parquet"
+    val corpusPath =
+      if (new java.io.File(s"$benchCorpus/_SUCCESS").exists()) benchCorpus
+      else s"$scratch/corpus-n$nDocs-seed42.parquet"
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
       PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
         .write.mode("overwrite").parquet(corpusPath)
     val pages = spark.read.parquet(corpusPath).select("url", "warc_ts", "text")

@@ -329,6 +329,38 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ORACLE-CHECKABLE recall for the corpus x corpus self path (same
+    // eligible-query construction and n_hit=3 assertion as e_ann_recall,
+    // same 6-bit x 16-table planes), but the approximate structure under
+    // test is the bucket SELF-join incl. its df-cap (Ann.selfTopK) instead
+    // of the broadcast query-vs-corpus probe. Together the two rows cover
+    // both ANN topologies with an independent DuckDB brute-force oracle.
+    "e_ann_self_recall" -> ((s, _) => {
+      val pages = dedupAuxPages(s)
+      val vecs = DedupPipeline.signatures(pages, DedupConfig())
+        .select(col("url").as("vec_id"),
+          Fns.sparseToDenseUdf(col("svec")).as("embedding"))
+        .persist()
+      vecs.count() // materialize before the multi-consumer fan-out
+      val top3 = Ann.bruteForceTopK(vecs, vecs, k = 3)
+      val eligible = top3.groupBy(col("query_id"))
+        .agg(min(col("cosine")).as("c3"), count(lit(1)).as("k"))
+        .filter(col("k") === 3 && col("c3") >= 0.90)
+        .select(col("query_id")).orderBy("query_id").limit(20)
+      // the self path buckets the WHOLE corpus on both sides (every doc is
+      // a query); the assertion restricts to the eligible set afterwards
+      val approx = Ann.selfTopK(vecs, k = 3, bitsPerTable = 6, nTables = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top3.select(col("query_id"), col("neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      eligible.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) * 10000.0 / 3)
+            .cast("bigint").as("recall_bp"))
+        .orderBy("query_id")
+    }),
+
     // ---- pages pipeline (deterministic in-session corpus; rows-only) ----
 
     // flagship clustering (SURVEY §7.1); components/keepers/splits + the
@@ -1000,6 +1032,32 @@ object SparkEntry {
     // the 9M-pair scan BEFORE the window — p_dedup_edges-class cost instead
     // of a window over the full all-pairs product.
     "e_ann_recall" ->
+      """WITH c AS MATERIALIZED (
+        | SELECT url, CAST(vec AS DOUBLE[]) AS vec
+        | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet')),
+        |p90 AS MATERIALIZED (
+        | SELECT a.url AS query_id, b.url AS neighbor_id,
+        |  list_dot_product(a.vec, b.vec) AS cosine
+        | FROM c a JOIN c b ON a.url <> b.url
+        | WHERE list_dot_product(a.vec, b.vec) >= 0.90),
+        |eligible AS (
+        | SELECT query_id FROM p90 GROUP BY query_id
+        | HAVING count(*) >= 3
+        | ORDER BY query_id LIMIT 20),
+        |top3 AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT p.query_id, p.neighbor_id,
+        |   row_number() OVER (PARTITION BY p.query_id
+        |     ORDER BY p.cosine DESC, p.neighbor_id ASC) AS rank
+        |  FROM p90 p JOIN eligible e USING (query_id))
+        | WHERE rank <= 3)
+        |SELECT query_id, count(*) AS n_hit,
+        | CAST(round(count(*) * 10000.0 / 3) AS BIGINT) AS recall_bp
+        |FROM top3 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // the self-join ANN path asserts the SAME brute-force ground truth (the
+    // oracle is identical by construction: eligible queries + their exact
+    // top-3, n_hit=3 iff the approximate structure recovered all of it)
+    "e_ann_self_recall" ->
       """WITH c AS MATERIALIZED (
         | SELECT url, CAST(vec AS DOUBLE[]) AS vec
         | FROM read_parquet('/root/repo/target/verify_aux/dedup_corpus.parquet/*.parquet')),
