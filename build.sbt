@@ -49,14 +49,31 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   "-XX:+AlwaysPreTouch",
 )
-// physical-memory-scaled heap default: ~40% of RAM, clamped to [2g, 48g]
+// physical-memory-scaled heap default: ~40% of RAM, clamped to [2g, 48g].
+// /proc/meminfo first (reflective getMethod on the MXBean IMPL class hits
+// the JDK17 module wall — InaccessibleObjectException — and silently fell
+// back to 16 GiB, i.e. a 6g heap on this 125 GiB box; caught live when the
+// bench BlockManager came up with 3.4 GiB); the public com.sun.management
+// interface is the non-Linux fallback.
 def defaultHeap: String = {
   val physGb: Long =
-    try {
-      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      val m = os.getClass.getMethod("getTotalMemorySize")
-      m.setAccessible(true)
-      m.invoke(os).asInstanceOf[Long] >> 30
-    } catch { case _: Throwable => 16L }
+    (try {
+      val mi = java.nio.file.Paths.get("/proc/meminfo")
+      if (java.nio.file.Files.isReadable(mi))
+        java.nio.file.Files.lines(mi).filter(_.startsWith("MemTotal:"))
+          .findFirst.map[Long](l => l.split("\\s+")(1).toLong >> 20)
+          .orElse(-1L)
+      else -1L
+    } catch { case _: Throwable => -1L }) match {
+      case g if g > 0 => g
+      case _ =>
+        try {
+          java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+            case os: com.sun.management.OperatingSystemMXBean =>
+              os.getTotalMemorySize >> 30
+            case _ => 16L
+          }
+        } catch { case _: Throwable => 16L }
+    }
   s"${math.min(48L, math.max(2L, (physGb * 2) / 5))}g"
 }
