@@ -256,19 +256,50 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    // ---- global wall-clock budget, measured from JVM START (the external
-    // driver times the whole command, so sbt/compile overhead counts).
-    // BENCH_r04 was rc=124/parsed:null because the artifact was emitted
-    // all-or-nothing at the very end and the worst-case pair schedule
-    // exceeded the driver's kill timeout. Crash-only design instead:
+    // ---- global wall-clock budget, measured from true PROCESS START (the
+    // external driver times the whole command, so sbt/compile overhead AND
+    // the -XX:+AlwaysPreTouch heap fault-in all count against its kill
+    // timer). BENCH_r04 was rc=124/parsed:null because the artifact was
+    // emitted all-or-nothing at the very end and the worst-case pair
+    // schedule exceeded that timer. Crash-only design instead:
     //   - stop ADDING timed pairs when the remaining budget can't fit one
     //     (pair 1 always runs, with caps shrunk to fit, so the scaling gate
     //     is evaluated even in a degraded window);
     //   - print the best-so-far artifact line after EVERY pair and from a
     //     JVM shutdown hook — downstream takes the last parsable line, so
     //     even a kill leaves a valid artifact with `pairs_completed` fewer.
-    val jvmStartMs =
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    //
+    // Clock anchor: RuntimeMXBean.getStartTime is recorded AFTER VM init on
+    // JDK 17, i.e. AFTER AlwaysPreTouch faults in the whole -Xms heap — in
+    // a host throttle window that is 15-20 MINUTES the budget would never
+    // see (observed live: the corpus line printed "elapsed 45 s" from a JVM
+    // that ps showed 23 minutes old). ProcessHandle.startInstant() is the
+    // kernel's fork timestamp. Walk to ancestors (the sbt launcher JVM and
+    // its shell wrapper) while they plausibly belong to this same timed
+    // command — started < 30 min before the child — so sbt startup+compile
+    // count too; the long-lived driver daemon above them is excluded by the
+    // same rule.
+    val jvmStartMs: Long = {
+      def startMs(h: ProcessHandle): Option[Long] =
+        try {
+          val o = h.info().startInstant()
+          if (o.isPresent) Some(o.get.toEpochMilli) else None
+        } catch { case _: Throwable => None }
+      var anchor = startMs(ProcessHandle.current())
+        .getOrElse(java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+      var cur = ProcessHandle.current()
+      var hops = 0
+      while (hops < 3 && cur.parent().isPresent) {
+        cur = cur.parent().get
+        startMs(cur) match {
+          case Some(ms) if ms <= anchor && anchor - ms < 30 * 60 * 1000L =>
+            anchor = ms
+          case _ => hops = 3 // stop at the first ancestor outside the window
+        }
+        hops += 1
+      }
+      anchor
+    }
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStartMs) / 1e3
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "2700").toDouble
     def remainingSec: Double = budgetSec - elapsedSec
@@ -416,6 +447,12 @@ object Bench {
       println(line); System.out.flush()
       if (isFinal) finalEmitted = true
     }
+
+    // 0-pair snapshot: if the driver kills us inside the very first timed
+    // run, the artifact still parses (query times + window-1 controls,
+    // pairs_completed=0 and all_aborted flags marking the gate unevaluated).
+    emit(math.max(kLo1, 1.0), math.max(kHi1, 1.0), bwLo1, bwHi1,
+      pairsCompleted = 0, isFinal = false)
 
     // ---- interleaved pairs, best-of per level, budget-gated ----
     // Pair 1 ALWAYS runs (a 0-pair artifact leaves the scaling gate
