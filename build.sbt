@@ -34,20 +34,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with persisted corpora needs headroom: 8g makes the 32-thread
   // runs GC-bound (and wrecks measured scaling); the box has 125 GiB.
-  // -Xms=-Xmx + AlwaysPreTouch: this VM has multi-minute windows where
-  // first-touch of fresh guest memory runs at host page-fault speed
-  // (phantom system time, measured 90%+ sy with idle user CPU). Faulting
-  // the whole heap in ONCE at JVM start moves that cost out of every
-  // timed run — heap pages are then reused, never re-faulted.
   // 48g (not 32g) on big boxes: the 2M-doc scaling corpus holds ~15 GB of
   // persisted frames; at 32g the executor heartbeater starves under GC
   // and kills the JVM with exit 56 (observed on the round-4 2M rehearsal).
   // The default is derived from PHYSICAL memory so a laptop-sized machine
   // gets a heap it can actually start (48g -Xms on a 16 GiB box fails or
   // thrashes); SPARK_DRIVER_MEM overrides either way.
+  // AlwaysPreTouch was tried in rounds 3-4 and REMOVED: faulting 48 GiB in
+  // one burst at JVM start costs 10-20 MINUTES whenever it lands in one of
+  // this host's throttle windows (observed live, repeatedly — and the burst
+  // correlates with window ONSET), all of it inside the external driver's
+  // kill timer, while a quiet-window pre-touch saves only ~11 s spread
+  // across the untimed gen/warmup phases that fault the heap anyway.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
-  "-XX:+AlwaysPreTouch",
 )
 // physical-memory-scaled heap default: ~40% of RAM, clamped to [2g, 48g].
 // /proc/meminfo first (reflective getMethod on the MXBean IMPL class hits

@@ -211,9 +211,13 @@ object Bench {
       spark.sparkContext.addSparkListener(agg)
       val h0 = hostCpu()
       try {
+        // bigCacheLevel (default DISK_ONLY): on-heap corpus text is
+        // eviction bait for the timed run's sorts (see DedupPipeline.run's
+        // `keyed` note); scratch is tmpfs here so re-reads are RAM-speed
+        // deserialization.
         val pages = spark.read.parquet(corpusPath)
           .select("url", "warc_ts", "text") // only what the pipeline reads
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(DedupPipeline.bigCacheLevel)
         pages.count() // materialize input outside the timed section
         agg.cpuNs.set(0); agg.gcMs.set(0); agg.readB.set(0)
         agg.shufRB.set(0); agg.shufWB.set(0)
@@ -257,11 +261,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // ---- global wall-clock budget, measured from true PROCESS START (the
-    // external driver times the whole command, so sbt/compile overhead AND
-    // the -XX:+AlwaysPreTouch heap fault-in all count against its kill
-    // timer). BENCH_r04 was rc=124/parsed:null because the artifact was
-    // emitted all-or-nothing at the very end and the worst-case pair
-    // schedule exceeded that timer. Crash-only design instead:
+    // external driver times the whole command, so sbt startup + compile —
+    // and any slow JVM init in a host throttle window — all count against
+    // its kill timer). BENCH_r04 was rc=124/parsed:null because the
+    // artifact was emitted all-or-nothing at the very end and the
+    // worst-case pair schedule exceeded that timer. Crash-only design:
     //   - stop ADDING timed pairs when the remaining budget can't fit one
     //     (pair 1 always runs, with caps shrunk to fit, so the scaling gate
     //     is evaluated even in a degraded window);
@@ -270,11 +274,12 @@ object Bench {
     //     even a kill leaves a valid artifact with `pairs_completed` fewer.
     //
     // Clock anchor: RuntimeMXBean.getStartTime is recorded AFTER VM init on
-    // JDK 17, i.e. AFTER AlwaysPreTouch faults in the whole -Xms heap — in
-    // a host throttle window that is 15-20 MINUTES the budget would never
-    // see (observed live: the corpus line printed "elapsed 45 s" from a JVM
-    // that ps showed 23 minutes old). ProcessHandle.startInstant() is the
-    // kernel's fork timestamp. Walk to ancestors (the sbt launcher JVM and
+    // JDK 17 — when VM init is slow (at the time: AlwaysPreTouch faulting a
+    // 48 GiB -Xms heap inside a host throttle window, 15-20 MINUTES) the
+    // budget would never see it (observed live: the corpus line printed
+    // "elapsed 45 s" from a JVM that ps showed 23 minutes old).
+    // ProcessHandle.startInstant() is the kernel's fork timestamp. Walk to
+    // ancestors (the sbt launcher JVM and
     // its shell wrapper) while they plausibly belong to this same timed
     // command — started < 30 min before the child — so sbt startup+compile
     // count too; the long-lived driver daemon above them is excluded by the
@@ -331,6 +336,31 @@ object Bench {
     val scratch =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
       else "target"
+
+    // Sweep scratch leaked by KILLED predecessors: a driver-timeout SIGKILL
+    // skips Spark's stop() cleanup and leaves blockmgr-*/spark-* dirs in
+    // tmpfs (observed live: a 27 GB blockmgr from a killed rehearsal). On
+    // RAM-backed scratch that is memory stolen from every subsequent run —
+    // and guest memory pressure shows up as the same phantom-sys signature
+    // as a host throttle window, poisoning the very runs this bench is
+    // trying to measure. Only dirs idle >10 min are removed, so an actually
+    // concurrent bench (never the case under the one-at-a-time driver) is
+    // left alone. The corpus-*.parquet caches are deliberately kept.
+    locally {
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      val stale = Option(new java.io.File(scratch).listFiles())
+        .getOrElse(Array.empty).filter { f =>
+          (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")) &&
+            f.lastModified < cutoff
+        }
+      stale.foreach(rm)
+      if (stale.nonEmpty) System.err.println(
+        s"[bench] scratch: swept ${stale.length} stale dir(s) left by killed predecessors")
+    }
 
     val spark = build(hiCpus) // query/gen session (gen is the big cost)
     // scaling corpus: sized so distributed compute dominates the pipeline's

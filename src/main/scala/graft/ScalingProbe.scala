@@ -32,8 +32,32 @@ object ScalingProbe {
       .split(",").map(_.trim.toInt).toSeq
     val cfg = DedupConfig(exactPrecollapse =
       sys.env.getOrElse("SPARK_GRAFT_PRECOLLAPSE", "true").toBoolean)
+    // warmup at fixture scale so the FIRST probed level isn't paying JIT
+    // (Bench warms up the same way before its timed runs)
+    locally {
+      val s = build(8)
+      try DedupPipeline.run(s,
+        PagesGen.generate(s, 20000, nDomains = 500, seed = 42L), cfg).count(): Unit
+      finally s.stop()
+    }
     levels.foreach { cpus =>
       val spark = build(cpus)
+      // SPARK_GRAFT_JOBLOG=1: per-job wall times — the pipeline's serial
+      // fixed cost F is the sum of small-data job barriers, and this is
+      // the direct way to see which ones dominate at the hi level.
+      if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+        val t00 = System.nanoTime()
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(),
+              Option(j.properties.getProperty("spark.job.description")).getOrElse(""))): Unit
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = starts.remove(j.jobId)
+            if (st != null) println(f"[job] cpus=$cpus id=${j.jobId}%3d t=${(st._1 - t00) / 1e9}%7.1f dur=${(System.nanoTime() - st._1) / 1e9}%7.2f ${st._2.take(60)}")
+          }
+        })
+      }
       try {
         // same per-task metrics as Bench: cpu/gc/read/shuffle attribution
         val cpuNs = new java.util.concurrent.atomic.AtomicLong
@@ -59,13 +83,17 @@ object ScalingProbe {
         val scratch =
           if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-probe"
           else "target"
-        val corpusPath = s"$scratch/stage-corpus-$nDocs.parquet"
+        // SPARK_GRAFT_CORPUS: reuse an existing corpus (e.g. the bench's
+        // /dev/shm/graft-bench/corpus-n*-seed42.parquet) instead of
+        // generating a probe-local copy.
+        val corpusPath = sys.env.getOrElse("SPARK_GRAFT_CORPUS",
+          s"$scratch/stage-corpus-$nDocs.parquet")
         if (!new java.io.File(corpusPath).exists())
           PagesGen.generate(spark, nDocs, nDomains = 500, seed = 42L)
             .write.mode("overwrite").parquet(corpusPath)
         val pages = spark.read.parquet(corpusPath)
           .select("url", "warc_ts", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(DedupPipeline.bigCacheLevel)
         pages.count()
         cpuNs.set(0); gcMs.set(0); readB.set(0); shufB.set(0)
         val t0 = System.nanoTime()

@@ -100,6 +100,23 @@ final case class DedupConfig(
 
 object DedupPipeline {
 
+  /** Storage level for the pipeline's corpus-scale caches (`keyed`, `sigs`,
+    * the bucket checkpoint — and callers' input persist via this same
+    * field). Semantics are placement-independent; only where the bytes sit
+    * changes. Default DISK_ONLY: on-heap corpus text is eviction bait for
+    * the big sort stages (measured convoy: 27/32 task threads parked in
+    * `UnifiedMemoryManager.acquireExecutionMemory`, 2M-doc bench) and the
+    * scratch dir is tmpfs on the bench box / node-local SSD on a cluster.
+    * `SPARK_GRAFT_CACHE` ∈ {disk, memser, memdisk} overrides for A/B
+    * measurement (ScalingProbe) without a recompile.
+    */
+  private[graft] val bigCacheLevel: StorageLevel =
+    sys.env.getOrElse("SPARK_GRAFT_CACHE", "disk").toLowerCase match {
+      case "memdisk" => StorageLevel.MEMORY_AND_DISK
+      case "memser"  => StorageLevel.MEMORY_AND_DISK_SER
+      case _         => StorageLevel.DISK_ONLY
+    }
+
   /** 128-bit numeric surrogate key for a url. Every downstream join/shuffle
     * (LSH self-join, verify, CC) moves 16 bytes instead of a ~60-byte url
     * string; collision probability at the 10^12-doc design point is
@@ -185,7 +202,10 @@ object DedupPipeline {
         posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(col("band"), col("bucket"))
-      .localCheckpoint(eager = true)
+      // bigCacheLevel (default DISK_ONLY): ~GBs of bucket rows held on-heap
+      // are eviction bait for the self-join's sorts (same convoy as
+      // `keyed`); tmpfs/SSD re-reads keep the pinned partitioning either way.
+      .localCheckpoint(eager = true, bigCacheLevel)
     val buckets =
       if (cfg.maxBucketSize > 0)
         SkewOps.capHotBuckets(buckets0, Seq(col("band"), col("bucket")), cfg.maxBucketSize)
@@ -268,9 +288,19 @@ object DedupPipeline {
         // n_chars is computed MAP-SIDE here so the member-rows plan below
         // never needs the text column: its copy of the join shuffles only
         // (chash, url, warc_ts, n_chars) — ~90 B/row, not the document.
+        // bigCacheLevel (default DISK_ONLY), deliberately: this is the full
+        // corpus INCLUDING text — the pipeline's biggest cache. Held
+        // on-heap (MEMORY_AND_DISK) it fills the unified pool's storage
+        // side, and the big sort stages' execution requests then evict it
+        // page-by-page under the UnifiedMemoryManager lock — at 32 threads
+        // that is a measured convoy (27/32 task threads parked in
+        // acquireExecutionMemory, 2M-doc bench) plus ~19 re-scans of the
+        // source parquet as the evicted partitions recompute. Serialized on
+        // scratch disk (tmpfs here, node-local SSD on a cluster) it costs
+        // one write + cheap re-reads and leaves the whole pool to execution.
         keyed = projected.withColumn("chash", chashOf(col("text")))
           .withColumn("n_chars", length(col("text")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(bigCacheLevel)
         val dupGroups = keyed.groupBy(col("chash"))
           .agg(min(col("url")).as("rep_url"), count(lit(1)).as("grp_n"))
           .filter(col("grp_n") >= 2)
@@ -302,8 +332,13 @@ object DedupPipeline {
     // this fix — the scaling-efficiency killer.
     // (keyed's three consumers race too, but its recompute is one cheap
     // hash pass — not worth a barrier; sigs and edges carry UDF work.)
+    // bigCacheLevel for the same reason as `keyed` above: ~1.5 KB/doc of
+    // signature arrays is gigabytes at bench scale, and every byte held
+    // on-heap is eviction bait for the candidate stage's sorts. Both
+    // consumers (bucket explode, verify join) scan it sequentially —
+    // serialized re-reads are cheap.
     val sigs = signatures(reps, cfg, withText = cfg.lcsMinRatio > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(bigCacheLevel)
     sigs.count()
     val cand = candidates(sigs, cfg)
     val edges = verifiedEdges(sigs, cand, cfg)
