@@ -30,7 +30,12 @@ import org.apache.spark.storage.StorageLevel
   * @param edges DataFrame with columns (src, dst) — one row per undirected
   *              edge, either direction.
   * @param vertices DataFrame with column (id) — all vertices (isolated ones
-  *                 come out as their own singleton component).
+  *                 come out as their own singleton component). Need NOT be
+  *                 distinct: it only feeds round 1's aggregation, where
+  *                 duplicates are merged by the groupBy for free (rounds
+  *                 2+ join against groupBy outputs, which are distinct by
+  *                 construction — the d² message blow-up a duplicated
+  *                 vertex used to cause cannot occur).
   * @return DataFrame (id, component) where component = min vertex key of the
   *         component under the key's natural ordering.
   */
@@ -47,10 +52,6 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // `vertices` must be DISTINCT ids: labels seed the per-round join with
-    // sym, so a vertex duplicated d times would match its d edge rows d
-    // times each — d^2 messages for a degree-d vertex. (Duplicate rows in
-    // the groupBy alone would be harmless; the join is what explodes.)
     var labels = vertices.select(col("id"), col("id").as("component"))
     var iter = 0
     var converged = false
@@ -65,11 +66,19 @@ object ConnectedComponents {
       // component minimum outright — one fewer round barrier and one fewer
       // convergence-check job than single-hop (the round-1 check is
       // skipped regardless, so the fused hop needs no prev tracking).
+      //
+      // Hop 1 needs NO join: the initial label of a vertex is its own id,
+      // so the message dst receives from src is just src itself —
+      // `sym.select(dst, src)` IS the hop-1 message stream. The groupBy
+      // both aggregates and deduplicates, which also makes a distinct()
+      // on the caller's vertex list unnecessary (measured: the old
+      // join-based hop 1 + upstream vertices.distinct() put two extra
+      // full-edge-list exchanges inside round 1 — at the 2M-doc bench
+      // round 1 was 18.7 s of the ~24 s CC total at 32 cores).
       val base =
         if (iter == 0) {
-          val m0 = sym.join(labels, sym("src") === labels("id"))
-            .select(sym("dst").as("id"), col("component"))
-          labels.select(col("id"), col("component")).union(m0)
+          sym.select(col("dst").as("id"), col("src").as("component"))
+            .union(labels)
             .groupBy("id").agg(min(col("component")).as("component"))
         } else labels
       val msgs = sym

@@ -320,6 +320,28 @@ object DedupPipeline {
             uidOf(col("url")).as("rep_uid"), lit(1L).as("exact_grp_n")))
       }
 
+    // `members` does not depend on stages 1-4, but left lazy it is
+    // evaluated only inside the post-CC assignment join — a measured ~10 s
+    // SERIAL tail at the 2M-doc bench (keyed re-scan + dupGroups
+    // re-aggregation + a full-corpus exchange, all after CC finishes, at
+    // both parallelism levels — i.e. pure fixed cost F in the t(p)=C/p+F
+    // scaling model). Materialize it on a second scheduler thread instead:
+    // the work overlaps the candidate/verify stages' barrier gaps (the
+    // timed section runs at ~77% slot utilization), and the
+    // repartition(rep_uid) pre-positions the rows so the assignment join
+    // exchanges only the small CC-label side. The rows are slim
+    // (~90 B/doc, no text), so MEMORY_AND_DISK is not eviction bait.
+    val membersPart = members.repartition(col("rep_uid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val membersPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val membersFut = membersPool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        spark.sparkContext.setJobDescription("members: background materialize")
+        membersPart.count()
+      }
+    })
+    membersPool.shutdown()
+
     // ---- stages 1-4 over representatives ------------------------------
     // Multi-consumer caches are materialized EAGERLY (one narrow job each)
     // before their fan-out. Left lazy, the consumers' stages run
@@ -349,11 +371,11 @@ object DedupPipeline {
     // Only vertices that appear in at least one edge can be in a >=2
     // component; everything else is a singleton and drops out — keeps the
     // CC working set at the number of *duplicated* docs, not corpus size.
-    // The distinct() is LOAD-BEARING: labels seed the round-1 join against
-    // sym, and a vertex of degree d duplicated d times would emit d^2
-    // messages (measured 5-10x slowdown when dropped).
+    // No distinct(): CC's round-1 aggregation dedups for free (its join
+    // rounds only ever see groupBy outputs), so a distinct here would be
+    // one full extra edge-list exchange of pure overhead.
     val vertices = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+      .union(edges.select(col("dst").as("id")))
 
     val comps = ConnectedComponents.run(spark, vertices, edges,
       verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1"))
@@ -362,8 +384,9 @@ object DedupPipeline {
     // component(row) = CC component of its representative, or the rep uid
     // itself when the rep has no near-dup edges but heads an exact-dup
     // group of >= 2 (that group IS a component).
-    val assigned = members
-      .join(comps, members("rep_uid") === comps("id"), "left")
+    membersFut.get() // surface any background-materialization failure here
+    val assigned = membersPart
+      .join(comps, membersPart("rep_uid") === comps("id"), "left")
       .withColumn("component",
         coalesce(col("component"),
           when(col("exact_grp_n") >= 2, col("rep_uid"))))
@@ -376,6 +399,7 @@ object DedupPipeline {
     val out = splitAndSelectKeepers(assigned, cfg).localCheckpoint(eager = true)
     edges.unpersist()
     sigs.unpersist()
+    membersPart.unpersist()
     if (keyed != null) keyed.unpersist()
     out
   }

@@ -174,9 +174,23 @@ object Checkpoint {
       // reapers wins the move; a plain delete+create lets reaper B delete
       // the lock reaper A just created (TOCTOU double-writer). Only the
       // winner appends STALE_FAILED (reference repository.py:126-149).
+      //
+      // Re-read IMMEDIATELY before the move: this thread's `raw` read may
+      // be arbitrarily old (descheduled thread), and a winner's FRESH lock
+      // may have replaced the stale one since. Moving that fresh lock
+      // aside — even transiently, for the content check below — opens a
+      // lock-absent window in which a third acquirer's create succeeds,
+      // dispossessing the winner (observed as a 2-winner flake in
+      // Round3Spec's 8-thread reap race). With the re-read, a steal
+      // requires the fresh create to land inside the read→move syscall
+      // gap; the restore/DISPOSSESSED path below remains the backstop.
       val reaped = p.resolveSibling(
         s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
       try {
+        val cur = java.nio.file.Files.readString(p)
+        if (cur != content)
+          throw new IllegalStateException(
+            "lock changed during stale reap; another run is active")
         java.nio.file.Files.move(p, reaped,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         // verify we moved the lock we READ — if the content changed, a
@@ -369,10 +383,15 @@ object Checkpoint {
       }
       if (!stale) return false // held and fresh
       // stale: exactly one reaper wins the move; verify we moved what
-      // we read (not a fresh lease that raced in)
+      // we read (not a fresh lease that raced in). Re-read immediately
+      // before the move — same stale-read steal window as the global
+      // lock's reap (see acquireLock): without it a descheduled reaper
+      // can move a fresh lease aside and let a third worker double-own
+      // the day for the restore interval.
       val reaped = p.resolveSibling(
         s"${p.getFileName}.reaped.${java.util.UUID.randomUUID()}")
       try {
+        if (java.nio.file.Files.readString(p) != content) return false
         java.nio.file.Files.move(p, reaped,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         if (java.nio.file.Files.readString(reaped) != content) {

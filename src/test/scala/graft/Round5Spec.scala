@@ -63,6 +63,23 @@ class Round5Spec extends AnyFunSuite {
     Checkpoint.releaseLock(spark, root, h, run)
   }
 
+  // ------------------------------------------------- CC vertex contract
+
+  test("CC accepts duplicated vertex ids: output distinct, labels exact") {
+    import spark.implicits._
+    // two components (1-2-3 triangle-ish chain, 10-11) plus an isolated 20;
+    // every vertex id duplicated 3x. Round 1's groupBy must merge the
+    // duplicates (the old join-based round 1 required distinct vertices —
+    // this pins the relaxed contract the pipeline now relies on).
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+      .flatMap(v => Seq(v, v, v)).toDF("id")
+    val out = graft.operators.ConnectedComponents.run(spark, vertices, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), s"got ${out.mkString(",")}")
+  }
+
   // ------------------------------------- failAfter/parallel contract guard
 
   test("runIncremental rejects failAfter combined with a parallel drain") {
