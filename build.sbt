@@ -32,14 +32,22 @@ javaOptions ++= sys.env.get("SPARK_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with persisted corpora needs headroom: 8g makes the 32-thread
-  // runs GC-bound (and wrecks measured scaling); the box has 125 GiB.
-  // 48g (not 32g) on big boxes: the 2M-doc scaling corpus holds ~15 GB of
-  // persisted frames; at 32g the executor heartbeater starves under GC
-  // and kills the JVM with exit 56 (observed on the round-4 2M rehearsal).
+  // local[32] runs need headroom: 8g makes the 32-thread runs GC-bound
+  // (and wrecks measured scaling); the box has 125 GiB.
+  // 28g, down from round 4's 48g: the 48g sizing predates the DISK_ONLY
+  // cache move — the heap no longer holds the corpus-scale persisted
+  // frames (they live in tmpfs/SSD scratch), only execution memory. And
+  // 48g became actively harmful once the caches moved: heap + the run's
+  // ~50 GB peak tmpfs blockmgr (shuffle files live until stop) + page
+  // cache reached ~106 of 125 GiB, and the kernel's reclaim showed up as
+  // multi-minute 40-50% system-time storms inside the timed runs — the
+  // same signature as the host's hypervisor windows, but self-inflicted
+  // (measured round 5: 28g heap runs hold ~40 GiB free with sys at 2-6%).
+  // The old 32g exit-56 heartbeat starvation was an ON-heap-cache GC
+  // symptom and does not recur at 28g with DISK_ONLY caches.
   // The default is derived from PHYSICAL memory so a laptop-sized machine
-  // gets a heap it can actually start (48g -Xms on a 16 GiB box fails or
-  // thrashes); SPARK_DRIVER_MEM overrides either way.
+  // gets a heap it can actually start; SPARK_DRIVER_MEM overrides either
+  // way.
   // AlwaysPreTouch was tried in rounds 3-4 and REMOVED: faulting 48 GiB in
   // one burst at JVM start costs 10-20 MINUTES whenever it lands in one of
   // this host's throttle windows (observed live, repeatedly — and the burst
@@ -49,7 +57,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
-// physical-memory-scaled heap default: ~40% of RAM, clamped to [2g, 48g].
+// physical-memory-scaled heap default: ~22% of RAM, clamped to [2g, 28g].
 // /proc/meminfo first (reflective getMethod on the MXBean IMPL class hits
 // the JDK17 module wall — InaccessibleObjectException — and silently fell
 // back to 16 GiB, i.e. a 6g heap on this 125 GiB box; caught live when the
@@ -75,5 +83,5 @@ def defaultHeap: String = {
           }
         } catch { case _: Throwable => 16L }
     }
-  s"${math.min(48L, math.max(2L, (physGb * 2) / 5))}g"
+  s"${math.min(28L, math.max(2L, (physGb * 2) / 9))}g"
 }

@@ -44,18 +44,23 @@ import graft.sources.PagesGen
   */
 object Bench {
 
-  private def build(cpus: Int): SparkSession = {
+  private def build(cpus: Int, shufParts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      // 4 waves of smaller tasks, not 1 wave of giant ones: at the 2M-doc
-      // corpus a cpus-sized partition count gives each hash-agg/join task a
-      // ~1 GB working set, and cpus concurrent tasks overflow the unified
-      // pool — every allocation then evicts under the UnifiedMemoryManager
-      // lock (convoy, observed live at 2M docs: 32 threads BLOCKED, 94%
-      // kernel time). 4x partitions cap per-task memory at ~1/4 and AQE
-      // coalesces any that come out small.
-      .config("spark.sql.shuffle.partitions", math.max(4, cpus * 4).toString)
+      // Shuffle partitions are DATA-sized and FIXED across parallelism
+      // levels (cluster semantics: spark.sql.shuffle.partitions does not
+      // change when you add executors — the same map outputs just spread
+      // over more cores). Round 4 set 4x the LEVEL's cpus, which (a) at
+      // cpus-sized counts gave each hash-agg/join task a ~1 GB working set
+      // whose allocations convoyed under the UnifiedMemoryManager lock
+      // (observed live at 2M docs: 32 threads BLOCKED, 94% kernel time),
+      // and (b) quietly handed the lo level a partition-count advantage
+      // the hi level cannot have on a cluster: 32-partition shuffles
+      // compress better than 128-partition ones (measured 68.6 vs 77.4 GB
+      // for the identical 2M-doc job), so the "scaling" number partly
+      // measured block-size compression, not parallelism.
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -192,9 +197,9 @@ object Bench {
     * best-of estimator (the abandoned sample could only have been worse
     * than the cap implies) and bounds the artifact's wall time.
     */
-  private def dedupThroughput(cpus: Int, corpusPath: String, nDocs: Long,
-                              capSec: Long): Run = {
-    val spark = build(cpus)
+  private def dedupThroughput(cpus: Int, shufParts: Int, corpusPath: String,
+                              nDocs: Long, capSec: Long): Run = {
+    val spark = build(cpus, shufParts)
     val wallT0 = System.nanoTime()
     @volatile var fired = false
     val watchdog = new Thread(() => {
@@ -312,12 +317,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hiCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loCpus = math.max(1, hiCpus / 4)
+    // one data-sized shuffle-partition count for BOTH levels (see build's
+    // note): 4 waves at the hi level, whose per-task memory cap is the
+    // binding constraint
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFPARTS",
+      math.max(4, hiCpus * 4).toString).toInt
     val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "3").toInt
-    // caps sized for the 2 M-doc corpus: healthy-window lo ~330 s / hi
-    // ~100 s, so a healthy run is never truncated while a poisoned one
-    // (this host has multi-minute throttle windows) is cut early
-    val capLo = sys.env.getOrElse("SPARK_GRAFT_CAP_LO", "700").toLong
-    val capHi = sys.env.getOrElse("SPARK_GRAFT_CAP_HI", "400").toLong
+    // caps sized for the 2 M-doc corpus: healthy-window lo ~360-590 s / hi
+    // ~135-195 s (round-5 measured range across host windows), so a
+    // healthy run is never truncated while a poisoned one (this host has
+    // multi-minute throttle windows) is cut early. 650/350 (not 700/400):
+    // the budget gate admits pair k+1 only while capLo+capHi+reserve fits
+    // the remaining budget, so tighter caps buy a third interleaved pair
+    // in typical windows — more pairs = better odds that BOTH levels
+    // sample a quiet window for the best-of estimator.
+    val capLo = sys.env.getOrElse("SPARK_GRAFT_CAP_LO", "650").toLong
+    val capHi = sys.env.getOrElse("SPARK_GRAFT_CAP_HI", "350").toLong
     // reserved for the window-2 controls after the last pair
     val controlReserve = sys.env.getOrElse("SPARK_GRAFT_CONTROL_RESERVE", "150").toDouble
     val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
@@ -362,7 +377,7 @@ object Bench {
         s"[bench] scratch: swept ${stale.length} stale dir(s) left by killed predecessors")
     }
 
-    val spark = build(hiCpus) // query/gen session (gen is the big cost)
+    val spark = build(hiCpus, shufParts) // query/gen session (gen is the big cost)
     // scaling corpus: sized so distributed compute dominates the pipeline's
     // serial job barriers at the lo level. Time model t(p) = C/p + F:
     // round-4 clean-window fits give C ~ 1.2 core-ms/doc (the shuffle cuts
@@ -419,8 +434,15 @@ object Bench {
         f"[bench] budget: skipping query pass $p (remaining $remainingSec%.0f s)")
     }
     val queryTimes = qt.toSeq
-    // untimed warmup so every timed run executes JIT-hot code
-    val warm = spark.read.parquet(corpusPath).limit(30000)
+    // untimed warmup so every timed run executes JIT-hot code. 200k docs
+    // (not 30k): every session's FIRST corpus-scale 32-thread run carries a
+    // one-time penalty the rest of that session never repays (measured in
+    // all three round-5 full-protocol runs: first hi run cpu 5013-6830
+    // core-s, later hi runs monotonically down to 3426-4606 on identical
+    // input) — a 30k-doc warmup exercises the code paths but not the
+    // tmpfs/page-fault churn that penalty lives in. 200k is ~25 s and
+    // churns ~10x the pages.
+    val warm = spark.read.parquet(corpusPath).limit(200000)
     DedupPipeline.run(spark, warm, DedupConfig()).count()
     // kernel-control sample: real corpus texts (hits the same embed cache
     // behavior as the pipeline)
@@ -506,8 +528,12 @@ object Bench {
           }
         if (!fits) System.err.println(
           f"[bench] budget: pair 1 forced with shrunk caps lo=${cl}s hi=${ch}s (remaining $remainingSec%.0f s)")
-        runs += dedupThroughput(loCpus, corpusPath, nDocs, cl)
-        runs += dedupThroughput(hiCpus, corpusPath, nDocs, ch)
+        // hi FIRST within each pair: whatever first-run-of-a-session
+        // penalty survives the warmup lands on a run that two more hi
+        // samples follow (best-of absorbs it); the lo level measured
+        // insensitive to run order in every round-5 session.
+        runs += dedupThroughput(hiCpus, shufParts, corpusPath, nDocs, ch)
+        runs += dedupThroughput(loCpus, shufParts, corpusPath, nDocs, cl)
         pairsCompleted += 1
         emit(math.max(kLo1, 1.0), math.max(kHi1, 1.0), bwLo1, bwHi1,
           pairsCompleted, isFinal = false)
@@ -537,7 +563,7 @@ object Bench {
       // hi first when missing: its cap is smaller, so it fits tighter tails
       val (cpus, cap) = if (levelMissing(hiCpus)) (hiCpus, capHi) else (loCpus, capLo)
       System.err.println(f"[bench] salvage: retrying cpus=$cpus cap=${cap}s (remaining $remainingSec%.0f s)")
-      runs += dedupThroughput(cpus, corpusPath, nDocs, cap)
+      runs += dedupThroughput(cpus, shufParts, corpusPath, nDocs, cap)
       emit(math.max(kLo1, 1.0), math.max(kHi1, 1.0), bwLo1, bwHi1,
         pairsCompleted, isFinal = false)
       salvage += 1

@@ -13,7 +13,10 @@ object ScalingProbe {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-probe-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4 waves: cap per-task memory (see Bench.build)
+      // default 4 waves (see Bench.build); SPARK_GRAFT_SHUFPARTS overrides
+      // for A/B-ing the partition count at a fixed parallelism
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFPARTS", (cpus * 4).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
