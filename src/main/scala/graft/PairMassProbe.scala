@@ -47,40 +47,70 @@ object PairMassProbe {
         .write.mode("overwrite").parquet(corpusPath)
     val pages = spark.read.parquet(corpusPath).select("url", "warc_ts", "text")
 
-    val cfg = DedupConfig(simhashPregateMaxHamming = -1) // ungated
+    // SPARK_GRAFT_PAIRMASS_MODE:
+    //   all  (default) — raw histograms over the UNGATED pair stream + true
+    //          edges from the ungated distinct set (600 k scale fits RAM);
+    //   hist — raw histograms only;
+    //   edges — true-edge histograms from the 64-BIT-GATED pair set only.
+    //          At 2 M docs the ungated set (183.6 M distinct pairs x sparse
+    //          vectors) OOMs the box, while gate 23 provably keeps every
+    //          true edge (max observed 64-bit hamming is 21 at 2 M docs,
+    //          round-5 evidence) — so the gated set yields the IDENTICAL
+    //          edge histograms at ~6x less memory.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PAIRMASS_MODE", "all")
+    val cfg =
+      if (mode == "edges") DedupConfig(simhash128PregateMaxHamming = -1)
+      else DedupConfig(simhashPregateMaxHamming = -1,
+        simhash128PregateMaxHamming = -1)
     val sigs = DedupPipeline.signatures(pages, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[pairmass] sig rows=${sigs.count()}")
 
     // Raw band-join pair stream (pre-dedup, pre-gate) with hamming: this is
     // what crosses the pair-dedup exchange at a given gate. Count per
-    // hamming bucket once, derive every gate's cost from the histogram.
-    val rawPairs = DedupPipeline.candidatesRaw(sigs, cfg)
-    val hist = rawPairs.groupBy(col("simhash_hamming")).agg(count(lit(1)).as("n"))
-      .orderBy(col("simhash_hamming")).collect()
-    val total = hist.map(_.getLong(1)).sum
-    println(s"[pairmass] raw band-join pair rows (pre-dedup, pre-gate): $total")
-    var cum = 0L
-    hist.foreach { r =>
-      cum += r.getLong(1)
-      println(f"[pairmass] hamming<=${r.getInt(0)}%2d cum_rows=$cum%12d (${100.0 * cum / total}%5.1f%%)")
+    // hamming bucket once, derive every gate's cost from the histogram —
+    // for BOTH the 64-bit hamming (the shipped round-5 gate) and the
+    // 128-bit hamming (the round-6 gate under evaluation).
+    val rawPairs = DedupPipeline.candidatesRaw(sigs, cfg, emitHamming128 = true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def cumHist(name: String, colName: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val hist = df.groupBy(col(colName)).agg(count(lit(1)).as("n"))
+        .orderBy(col(colName)).collect()
+      val total = hist.map(_.getLong(1)).sum
+      println(s"[pairmass] $name rows: $total")
+      var cum = 0L
+      hist.foreach { r =>
+        cum += r.getLong(1)
+        println(f"[pairmass] $name<=${r.getInt(0)}%3d cum_rows=$cum%12d (${100.0 * cum / total}%5.1f%%)")
+      }
     }
+    if (mode != "edges") {
+      cumHist("hamming64", "simhash_hamming", rawPairs)
+      cumHist("hamming128", "simhash_hamming128", rawPairs)
+    }
+    if (mode == "hist") { spark.stop(); return }
 
     // Distinct candidate pairs and verified (cosine>=0.90) edges, with the
-    // true-edge hamming distribution: the recall evidence for the gate.
+    // true-edge hamming distribution (64- and 128-bit): the recall
+    // evidence for both gates.
     val distinctPairs = rawPairs.dropDuplicates("uid_a", "uid_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     println(s"[pairmass] distinct candidate pairs: ${distinctPairs.count()}")
     val edges = DedupPipeline.verifiedEdges(sigs, distinctPairs, cfg)
-    val edgeHist = edges.groupBy(col("simhash_hamming")).agg(count(lit(1)).as("n"))
-      .orderBy(col("simhash_hamming")).collect()
-    val eTotal = edgeHist.map(_.getLong(1)).sum
-    println(s"[pairmass] verified edges (cosine>=${cfg.threshold}): $eTotal")
-    edgeHist.foreach { r =>
-      println(f"[pairmass] EDGE hamming=${r.getInt(0)}%2d n=${r.getLong(1)}%10d")
-    }
-    val maxH = if (edgeHist.nonEmpty) edgeHist.map(_.getInt(0)).max else -1
-    println(s"[pairmass] max true-edge hamming at nDocs=$nDocs: $maxH")
+      .join(distinctPairs.select(col("uid_a"), col("uid_b"), col("simhash_hamming128")),
+        Seq("uid_a", "uid_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[pairmass] verified edges (cosine>=${cfg.threshold}): ${edges.count()}")
+    Seq(("hamming64", "simhash_hamming"), ("hamming128", "simhash_hamming128"))
+      .foreach { case (label, c) =>
+        val edgeHist = edges.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .orderBy(col(c)).collect()
+        edgeHist.foreach { r =>
+          println(f"[pairmass] EDGE $label=${r.getInt(0)}%3d n=${r.getLong(1)}%10d")
+        }
+        val maxH = if (edgeHist.nonEmpty) edgeHist.map(_.getInt(0)).max else -1
+        println(s"[pairmass] max true-edge $label at nDocs=$nDocs: $maxH")
+      }
     spark.stop()
   }
 }

@@ -136,6 +136,52 @@ object MinHash {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
+  /** 128-bit SimHash as two 64-bit halves, one pass over the shingles.
+    *
+    * The LOW half is bit-identical to [[simHash]] (same per-bit majority
+    * over the raw shingle hashes) so every existing 64-bit consumer — the
+    * oracle aux export, `p_simhash_pairs`, the streaming dedup state — is
+    * unchanged; the HIGH half runs the same majority over an independently
+    * re-mixed copy of each shingle hash (splitmix64 of h xor a fixed salt,
+    * so the two halves' bits are pairwise independent hash functions of
+    * the shingle set).
+    *
+    * Why 128 bits (round-6 optimization, guide §2.3 "shuffle fewer
+    * bytes"): for two docs with cosine-style similarity s, each SimHash
+    * bit agrees with probability p(s) > 1/2, so the hamming distance of a
+    * TRUE pair concentrates at 128(1-p) with relative spread shrinking as
+    * 1/sqrt(bits), while NOISE pairs concentrate at 64 +- 5.7. Doubling
+    * the bits roughly doubles the true/noise mean separation in units of
+    * noise sigma — at equal recall the gate admits an order of magnitude
+    * fewer noise pairs into the verify join (the dedup pipeline's largest
+    * exchange; measured in BASELINE.md round 6).
+    */
+  def simHash128(shingleHashes: Array[Long]): Array[Long] = {
+    if (shingleHashes.isEmpty) return Array(0L, 0L)
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = shingleHashes(i)
+      val g = mix64(h ^ 0x5CA1AB1E5CA1AB1EL) // independent second half
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((g >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) lo |= (1L << b)
+      if (counts(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    Array(lo, hi)
+  }
+
   /** 64-bit SimHash over shingle hashes (unweighted). */
   def simHash(shingleHashes: Array[Long]): Long = {
     if (shingleHashes.isEmpty) return 0L

@@ -99,14 +99,21 @@ object Fns {
   def cosineSparseCol(a: Column, b: Column): Column = CosineSparse(a, b)
 
   /** One-pass signature bundle: shingle once, derive MinHash signature +
-    * SimHash + shingle count. Null signature for texts shorter than k
-    * (they can never be near-dups; callers filter).
+    * 128-bit SimHash + shingle count. `simhash` is the canonical 64-bit
+    * SimHash (bit-identical to [[graft.core.MinHash.simHash]] — the oracle
+    * export and `p_simhash_pairs` consume it); `simhash2` is the
+    * independent high half used only by the dedup candidate pre-gate.
+    * Null signature for texts shorter than k (they can never be near-dups;
+    * callers filter).
     */
-  final case class SigBundle(minhash: Array[Long], simhash: Long, nShingles: Int)
+  final case class SigBundle(minhash: Array[Long], simhash: Long, simhash2: Long, nShingles: Int)
   def signaturesUdf(k: Int, numHashes: Int, seed: Long) = udf { text: String =>
     val sh = MinHash.shingles(text, k)
-    if (sh.isEmpty) SigBundle(null, 0L, 0)
-    else SigBundle(MinHash.signatureOPH(sh, numHashes, seed), MinHash.simHash(sh), sh.length)
+    if (sh.isEmpty) SigBundle(null, 0L, 0L, 0)
+    else {
+      val s128 = MinHash.simHash128(sh)
+      SigBundle(MinHash.signatureOPH(sh, numHashes, seed), s128(0), s128(1), sh.length)
+    }
   }
 
   /** LSH band-bucket hashes: one 64-bit hash per band over its signature

@@ -63,6 +63,29 @@ final case class DedupConfig(
       * edge (north-rule recall bar: 0.99). Set < 0 to disable.
       */
     simhashPregateMaxHamming: Int = 23,
+    /** 128-bit SimHash hamming pre-gate (round-6 optimization), applied on
+      * top of the 64-bit gate: a candidate pair must ALSO satisfy
+      * hamming128(a, b) <= this, where hamming128 sums the 64-bit hamming
+      * and the hamming of the independent high half
+      * ([[graft.core.MinHash.simHash128]]). Doubling the bits doubles the
+      * true/noise mean separation in noise-sigma units, so at equal recall
+      * this gate rejects most of the noise the 64-bit gate at 23 admits —
+      * the verify join's pair exchange is the pipeline's largest shuffle
+      * and was majority-noise at gate 23 (round-5 PairMassProbe, 2 M docs).
+      * Evidence for the default (PairMassProbe, 2 M-doc bench corpus,
+      * round 6): the 64-gated verify stream is 15.16 M distinct pairs of
+      * which only 4.37 M are true edges (71 % noise); true-edge hamming128
+      * maxes at 36 (35 at 600 k) with the mass dying ~2x per bit (2 edges
+      * of 4.37 M at 36), while raw noise above the 35.1 % true plateau is
+      * 0.26 M rows at gate 42 vs 10.8 M at 64-bit gate 23 — a ~40x noise
+      * cut at equal recall. 42 keeps SIX bits of margin over the observed
+      * maximum (the 64-bit gate's margin has eroded to 23-vs-22 at 2 M
+      * docs, which the averaged 128-bit distance is much less exposed to:
+      * the h64=22 edge sits at h128=36). Candidate recall stays 1.0 in
+      * DedupParitySpec/PagesGenSpec and `p_dedup_edges` stays equal to the
+      * brute-force oracle. Set < 0 to disable.
+      */
+    simhash128PregateMaxHamming: Int = 42,
     /** Collapse byte-identical texts to one representative before LSH and
       * fan members back into components after CC. Exact-duplicate semantics
       * are unchanged (cosine of identical texts is 1.0); candidate volume
@@ -149,6 +172,7 @@ object DedupPipeline {
       length(col("text")).as("n_chars"),
       col("sig.minhash").as("minhash"),
       col("sig.simhash").as("simhash"),
+      col("sig.simhash2").as("simhash2"),
       col("sig.nShingles").as("n_shingles"),
       col("svec")) ++ (if (withText) Seq(col("text")) else Nil)
     base.select(cols: _*)
@@ -195,11 +219,15 @@ object DedupPipeline {
     * (~50 B/bucket-row) are freed by the ContextCleaner once the run's
     * frames go out of scope.
     */
-  private[graft] def candidatesRaw(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  private[graft] def candidatesRaw(sigs: DataFrame, cfg: DedupConfig,
+                                   emitHamming128: Boolean = false): DataFrame = {
+    val gate128 = cfg.simhash128PregateMaxHamming >= 0
+    val bucketCols = Seq(col("uid"), col("simhash")) ++
+      (if (gate128 || emitHamming128) Seq(col("simhash2")) else Nil) ++
+      Seq(posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
     val buckets0 = sigs
       .filter(col("minhash").isNotNull)
-      .select(col("uid"), col("simhash"),
-        posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
+      .select(bucketCols: _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(col("band"), col("bucket"))
       // bigCacheLevel (default DISK_ONLY): ~GBs of bucket rows held on-heap
@@ -212,15 +240,31 @@ object DedupPipeline {
       else buckets0
     val a = buckets.alias("a")
     val b = buckets.alias("b")
+    // hamming128 = low-half hamming + independent-high-half hamming; the
+    // emitted `simhash_hamming` column stays the 64-bit (low-half) value —
+    // it is part of the p_dedup_edges oracle contract. Both gates run
+    // INSIDE the band join's projection, before the pair crosses any
+    // further exchange; the h128 helper column is dropped pre-shuffle
+    // unless a diagnostics caller (PairMassProbe) asks for it.
     val joined = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.uid") < col("b.uid"))
-      .select(col("a.uid").as("uid_a"), col("b.uid").as("uid_b"),
-        Fns.hammingCol(col("a.simhash"), col("b.simhash")).as("simhash_hamming"))
-    if (cfg.simhashPregateMaxHamming >= 0)
-      joined.filter(col("simhash_hamming") <= cfg.simhashPregateMaxHamming)
-    else joined
+      .select(Seq(col("a.uid").as("uid_a"), col("b.uid").as("uid_b"),
+        Fns.hammingCol(col("a.simhash"), col("b.simhash")).as("simhash_hamming")) ++
+        (if (gate128 || emitHamming128)
+          Seq((Fns.hammingCol(col("a.simhash"), col("b.simhash")) +
+            Fns.hammingCol(col("a.simhash2"), col("b.simhash2"))).as("simhash_hamming128"))
+        else Nil): _*)
+    val g64 =
+      if (cfg.simhashPregateMaxHamming >= 0)
+        joined.filter(col("simhash_hamming") <= cfg.simhashPregateMaxHamming)
+      else joined
+    val g128 =
+      if (gate128)
+        g64.filter(col("simhash_hamming128") <= cfg.simhash128PregateMaxHamming)
+      else g64
+    if (gate128 && !emitHamming128) g128.drop("simhash_hamming128") else g128
   }
 
   /** Verified duplicate edges: exact reference cosine >= threshold. Only the
@@ -342,6 +386,39 @@ object DedupPipeline {
     })
     membersPool.shutdown()
 
+    // If any stage below throws (candidate/verify/CC failure), cancel the
+    // background members job and release every cache before rethrowing —
+    // otherwise the count keeps running unobserved and the four persisted
+    // frames leak for the life of the session (round-5 ADVICE).
+    var done = false
+    var sigs: DataFrame = null
+    var edges: DataFrame = null
+    try {
+      val out = runStages(spark, cfg, membersPart, membersFut,
+        s => sigs = s, e => edges = e, reps)
+      done = true
+      out
+    } finally {
+      if (!done) {
+        membersFut.cancel(true)
+        if (edges != null) edges.unpersist()
+        if (sigs != null) sigs.unpersist()
+        membersPart.unpersist()
+      }
+      if (keyed != null) keyed.unpersist()
+    }
+  }
+
+  /** Stages 1-5 (signatures -> candidates -> verify -> CC -> keepers) —
+    * split out of [[run]] so its error path can clean up the caches in one
+    * place. `onSigs`/`onEdges` hand the persisted frames back to the caller
+    * for failure-path unpersist.
+    */
+  private def runStages(spark: SparkSession, cfg: DedupConfig,
+                        membersPart: DataFrame,
+                        membersFut: java.util.concurrent.Future[Long],
+                        onSigs: DataFrame => Unit, onEdges: DataFrame => Unit,
+                        reps: DataFrame): DataFrame = {
     // ---- stages 1-4 over representatives ------------------------------
     // Multi-consumer caches are materialized EAGERLY (one narrow job each)
     // before their fan-out. Left lazy, the consumers' stages run
@@ -361,11 +438,13 @@ object DedupPipeline {
     // serialized re-reads are cheap.
     val sigs = signatures(reps, cfg, withText = cfg.lcsMinRatio > 0)
       .persist(bigCacheLevel)
+    onSigs(sigs)
     sigs.count()
     val cand = candidates(sigs, cfg)
     val edges = verifiedEdges(sigs, cand, cfg)
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onEdges(edges)
     edges.count()
 
     // Only vertices that appear in at least one edge can be in a >=2
@@ -400,7 +479,6 @@ object DedupPipeline {
     edges.unpersist()
     sigs.unpersist()
     membersPart.unpersist()
-    if (keyed != null) keyed.unpersist()
     out
   }
 

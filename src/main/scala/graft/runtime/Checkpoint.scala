@@ -37,7 +37,7 @@ object Checkpoint {
 
   def configHash(cfg: DedupConfig): String = {
     val s = s"${cfg.shingleK}|${cfg.numHashes}|${cfg.bands}|${cfg.threshold}|${cfg.maxGroupSize}|${cfg.seed}|" +
-      s"${cfg.simhashPregateMaxHamming}|${cfg.exactPrecollapse}|${cfg.maxBucketSize}|${cfg.lcsMinRatio}"
+      s"${cfg.simhashPregateMaxHamming}|${cfg.simhash128PregateMaxHamming}|${cfg.exactPrecollapse}|${cfg.maxBucketSize}|${cfg.lcsMinRatio}"
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).take(8).map(b => f"${b & 0xff}%02x").mkString
   }
