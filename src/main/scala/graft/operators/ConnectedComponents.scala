@@ -15,17 +15,19 @@ import org.apache.spark.storage.StorageLevel
   * near-cliques (verified-pair subgraphs of near-identical docs), so this is
   * 2-3 rounds in practice.
   *
-  * Cost model: two jobs per round, both cheap. Job 1 is the round itself
-  * (join + groupBy, materialized by `localCheckpoint` which also truncates
-  * lineage so plan size stays constant). The vertex's previous label rides
-  * the aggregation as a second min(), so job 2 — the convergence check — is
-  * a `limit(1)` existence scan of the already-checkpointed round: it
-  * early-exits at the first changed vertex and touches only in-memory
-  * blocks. (A `Dataset.observe`-based single-job variant was measured and
-  * rejected: observed metrics arrive via the async listener bus, and under
-  * high-parallelism AQE load the completion event can be delayed/dropped —
-  * each round then stalls on a timeout, turning CC into the pipeline's
-  * scaling bottleneck.)
+  * Cost model: ONE job per round (round-6 barrier cut). The round is a
+  * join + groupBy materialized by `localCheckpoint` (which also truncates
+  * lineage so plan size stays constant); the vertex's previous label rides
+  * the aggregation as a second min(), and the convergence check rides the
+  * SAME job as an accumulator bumped by a row-level changed flag — no
+  * separate check job, and round 1 gets a convergence check for free (a
+  * diameter-1 edge set finishes in one round). (A `Dataset.observe`-based
+  * single-job variant was measured and rejected earlier: observed metrics
+  * arrive via the async listener bus, and under high-parallelism AQE load
+  * the completion event can be delayed/dropped — each round then stalls on
+  * a timeout. Accumulator merges are synchronous with job completion, and
+  * task retries can only overcount — an extra round — never produce a
+  * false zero.)
   *
   * @param edges DataFrame with columns (src, dst) — one row per undirected
   *              edge, either direction.
@@ -57,15 +59,35 @@ object ConnectedComponents {
     var converged = false
     var prevChk: DataFrame = null
     while (!converged && iter < maxIterations) {
+      // Convergence check rides the round job itself (round-6 barrier cut):
+      // a tiny non-deterministic UDF bumps an accumulator for every row
+      // whose label changed while the checkpoint materializes the round, so
+      // the old job-2 `limit(1)` existence scan disappears — one job per
+      // round instead of two, and round 1 gets a free convergence check it
+      // previously had to skip (a diameter-1 component set now finishes in
+      // ONE round). Accumulator semantics are safe in the conservative
+      // direction: a retried/duplicated task can only overcount (an extra
+      // round), never undercount to a false zero, because `value` is read
+      // only after the eager checkpoint's job has processed every
+      // successful task's updates on the driver. (A `Dataset.observe`
+      // variant was measured and rejected earlier — its metrics arrive on
+      // the ASYNC listener bus and can stall a round; accumulator merges
+      // are synchronous with job completion.)
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      val bumpChanged = udf { c: Boolean =>
+        if (c) changedAcc.add(1L)
+        c
+      }.asNondeterministic() // keep the optimizer from eliding the call
       // neighbor labels flow along edges; vertex keeps min(self, neighbors).
       // `own` marks the vertex's current label so the same aggregation also
       // yields the previous label for the convergence check.
       //
       // Round 1 fuses a SECOND hop into the same checkpointed job: dedup
       // components are near-cliques, so two hops usually reach the
-      // component minimum outright — one fewer round barrier and one fewer
-      // convergence-check job than single-hop (the round-1 check is
-      // skipped regardless, so the fused hop needs no prev tracking).
+      // component minimum outright — one fewer round barrier than
+      // single-hop. Round 1's changed count compares hop-2 against hop-1
+      // labels (base IS the hop-1 state): zero means the propagation step
+      // has a fixed point, which is exactly convergence.
       //
       // Hop 1 needs NO join: the initial label of a vertex is its own id,
       // so the message dst receives from src is just src itself —
@@ -85,32 +107,29 @@ object ConnectedComponents {
         .join(base, sym("src") === base("id"))
         .select(sym("dst").as("id"), col("component"), lit(false).as("own"))
       val t0 = System.nanoTime()
+      // null-safe comparison: an id that appears only in `edges` (not in
+      // `vertices`) has a null prev_component on its first appearance; a
+      // plain =!= evaluates to null there and the change would go
+      // uncounted — declaring convergence while labels still propagate.
+      // The `_changed` column is part of the checkpointed schema, so the
+      // projection (and the accumulator bump inside it) is guaranteed to
+      // run for every row during materialization.
       val next = base.select(col("id"), col("component"), lit(true).as("own"))
         .union(msgs)
         .groupBy("id")
         .agg(min(col("component")).as("component"),
           min(when(col("own"), col("component"))).as("prev_component"))
-        .localCheckpoint(eager = true) // job 1: the round
+        .withColumn("_changed",
+          bumpChanged(!(col("component") <=> col("prev_component"))))
+        .localCheckpoint(eager = true) // the round; check rides along free
       val t1 = System.nanoTime()
-      // job 2: early-exit existence scan over the in-memory checkpoint.
-      // Skipped on round 1 — any non-empty edge set changes a label there
-      // (the greater endpoint of some edge adopts the smaller label), so
-      // the check can only say "changed"; an empty input just pays one
-      // extra (empty) round.
-      // null-safe comparison: an id that appears only in `edges` (not in
-      // `vertices`) has a null prev_component on its first appearance; a
-      // plain =!= evaluates to null there and the filter would drop the
-      // row — declaring convergence while labels still propagate.
-      val changed = iter == 0 ||
-        next.filter(!(col("component") <=> col("prev_component")))
-          .limit(1).count() > 0
-      val t2 = System.nanoTime()
+      val changed = changedAcc.value > 0
       if (prevChk != null) prevChk.unpersist()
       prevChk = next
       labels = next.select(col("id"), col("component"))
       converged = !changed
       iter += 1
-      if (verbose) println(f"[cc] iteration $iter changed=$changed round=${(t1 - t0) / 1e9}%.2fs check=${(t2 - t1) / 1e9}%.2fs")
+      if (verbose) println(f"[cc] iteration $iter changed=$changed (n=${changedAcc.value}) round=${(t1 - t0) / 1e9}%.2fs")
     }
     sym.unpersist()
     labels
