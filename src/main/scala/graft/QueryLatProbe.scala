@@ -42,6 +42,19 @@ object QueryLatProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (sys.env.get("SPARK_GRAFT_STAGELOG").contains("1")) {
+      val t00 = System.nanoTime()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val durMs = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+          val site = si.details.linesIterator.toSeq
+            .find(l => l.contains("graft.") && !l.contains("QueryLatProbe"))
+            .getOrElse("").trim
+          if (durMs > 100) println(f"[stage] id=${si.stageId}%4d dur=${durMs / 1e3}%6.2f tasks=${si.numTasks}%4d ${si.name.take(50)}%-50s $site")
+        }
+      })
+    }
     if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
       val t00 = System.nanoTime()
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

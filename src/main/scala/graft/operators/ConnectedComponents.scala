@@ -106,6 +106,7 @@ object ConnectedComponents {
       val msgs = sym
         .join(base, sym("src") === base("id"))
         .select(sym("dst").as("id"), col("component"), lit(false).as("own"))
+      spark.sparkContext.setJobDescription(s"cc: round ${iter + 1}")
       val t0 = System.nanoTime()
       // null-safe comparison: an id that appears only in `edges` (not in
       // `vertices`) has a null prev_component on its first appearance; a

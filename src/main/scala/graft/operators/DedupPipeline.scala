@@ -225,6 +225,7 @@ object DedupPipeline {
     val bucketCols = Seq(col("uid"), col("simhash")) ++
       (if (gate128 || emitHamming128) Seq(col("simhash2")) else Nil) ++
       Seq(posexplode(Fns.lshBucketsUdf(cfg.bands)(col("minhash"))))
+    sigs.sparkSession.sparkContext.setJobDescription("dedup: bucket checkpoint")
     val buckets0 = sigs
       .filter(col("minhash").isNotNull)
       .select(bucketCols: _*)
@@ -392,16 +393,14 @@ object DedupPipeline {
     // frames leak for the life of the session (round-5 ADVICE).
     var done = false
     var sigs: DataFrame = null
-    var edges: DataFrame = null
     try {
       val out = runStages(spark, cfg, membersPart, membersFut,
-        s => sigs = s, e => edges = e, reps)
+        s => sigs = s, reps)
       done = true
       out
     } finally {
       if (!done) {
         membersFut.cancel(true)
-        if (edges != null) edges.unpersist()
         if (sigs != null) sigs.unpersist()
         membersPart.unpersist()
       }
@@ -411,41 +410,61 @@ object DedupPipeline {
 
   /** Stages 1-5 (signatures -> candidates -> verify -> CC -> keepers) —
     * split out of [[run]] so its error path can clean up the caches in one
-    * place. `onSigs`/`onEdges` hand the persisted frames back to the caller
+    * place. `onSigs` hands the persisted signature frame back to the caller
     * for failure-path unpersist.
     */
   private def runStages(spark: SparkSession, cfg: DedupConfig,
                         membersPart: DataFrame,
                         membersFut: java.util.concurrent.Future[Long],
-                        onSigs: DataFrame => Unit, onEdges: DataFrame => Unit,
+                        onSigs: DataFrame => Unit,
                         reps: DataFrame): DataFrame = {
     // ---- stages 1-4 over representatives ------------------------------
-    // Multi-consumer caches are materialized EAGERLY (one narrow job each)
-    // before their fan-out. Left lazy, the consumers' stages run
-    // concurrently inside one job and race to compute the same uncached
-    // partitions — Spark's block-level getOrElseUpdate lets every racer
-    // recompute the partition (only one stores it), so the expensive UDF
-    // work is duplicated roughly once per concurrent consumer. The
-    // duplication grows with task slots: measured 2.6 core-ms/doc at
-    // local[4] vs 23 core-ms/doc at local[16] on the same corpus before
-    // this fix — the scaling-efficiency killer.
+    // Multi-consumer caches must be FULLY materialized before any job fans
+    // out over them: consumers' stages otherwise run concurrently inside
+    // one job and race to compute the same uncached partitions — Spark's
+    // block-level getOrElseUpdate lets every racer recompute the partition
+    // (only one stores it), so the expensive UDF work is duplicated roughly
+    // once per concurrent consumer, and the duplication grows with task
+    // slots: measured 2.6 core-ms/doc at local[4] vs 23 core-ms/doc at
+    // local[16] on the same corpus — the scaling-efficiency killer. The
+    // materialization does NOT need a dedicated count() job, though: a
+    // single-consumer job that scans the whole cache (the bucket checkpoint
+    // for sigs, the eager edge checkpoint for the edge list) populates it
+    // just as completely without the extra pass + barrier.
     // (keyed's three consumers race too, but its recompute is one cheap
-    // hash pass — not worth a barrier; sigs and edges carry UDF work.)
+    // hash pass — not worth a barrier; sigs carries the UDF work.)
     // bigCacheLevel for the same reason as `keyed` above: ~1.5 KB/doc of
     // signature arrays is gigabytes at bench scale, and every byte held
     // on-heap is eviction bait for the candidate stage's sorts. Both
     // consumers (bucket explode, verify join) scan it sequentially —
     // serialized re-reads are cheap.
+    val sc = spark.sparkContext
+    // sigs is persisted but NOT eagerly counted (round-6 barrier cut): its
+    // FIRST consumer is the bucket checkpoint inside candidatesRaw — a
+    // single-consumer job, so there is no concurrent-recompute race to
+    // barrier against, and that job's scan fills the cache for the verify
+    // join's two later reads. The old sigs.count() was one full extra pass
+    // over the corpus-scale cache plus a serial barrier (fixed cost F).
     val sigs = signatures(reps, cfg, withText = cfg.lcsMinRatio > 0)
       .persist(bigCacheLevel)
     onSigs(sigs)
-    sigs.count()
     val cand = candidates(sigs, cfg)
+    // Edge list materialized via eager localCheckpoint, NOT persist+count
+    // (round-6): persisted plans bypass AQE partition coalescing
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+    // false), so the old cache kept the verify join's 128 output partitions
+    // no matter how few edges there were — and CC then scanned it 4x per
+    // round-1 leg as 256-512 near-empty tasks (measured: the 3k-doc oracle
+    // fixture spent 5-22 s per CC round in pure task-launch overhead, the
+    // dominant cost of p_dedup_clusters). A localCheckpoint runs through
+    // AQE, so the edge list lands in data-sized partitions at ANY scale
+    // (~4 at 3k docs, ~a few dozen at 2M); blocks are freed by the
+    // ContextCleaner when the frame goes out of scope, same as the bucket
+    // checkpoint.
+    sc.setJobDescription("dedup: verify edges materialize")
     val edges = verifiedEdges(sigs, cand, cfg)
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    onEdges(edges)
-    edges.count()
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK)
 
     // Only vertices that appear in at least one edge can be in a >=2
     // component; everything else is a singleton and drops out — keeps the
@@ -475,8 +494,10 @@ object DedupPipeline {
     // Materialize before releasing the caches: the returned frame is the
     // small clustered subset, and callers (bench, checkpoint writer,
     // downstream ordering) all consume it more than once.
+    sc.setJobDescription("dedup: assign + keepers")
     val out = splitAndSelectKeepers(assigned, cfg).localCheckpoint(eager = true)
-    edges.unpersist()
+    // edges is a localCheckpoint — its blocks are freed by the
+    // ContextCleaner once the frame goes out of scope (no unpersist handle)
     sigs.unpersist()
     membersPart.unpersist()
     out

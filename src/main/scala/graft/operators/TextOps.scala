@@ -85,10 +85,16 @@ object TextOps {
           (_, i) => xxhash64(concat_ws(" ",
             slice(split(lower(trim(col(textCol))), "\\s+"), i + 1, lit(n)))))))
         .as("gram"))
-    val gramsSized = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // df-cap disabled (maxShingleDf == Int.MaxValue): skip the window
+    // outright — it is a full shuffle+sort of the exploded gram table that
+    // the `df <= MaxValue` filter would keep verbatim (round-6; the cap
+    // path itself is unchanged and stays kernel-tested in OpsSpec)
+    val gramsSized =
+      if (maxShingleDf == Int.MaxValue) grams
+      else grams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val inter = gramsSized.as("a").join(gramsSized.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
