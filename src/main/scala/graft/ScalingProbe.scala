@@ -99,11 +99,21 @@ object ScalingProbe {
           .persist(DedupPipeline.bigCacheLevel)
         pages.count()
         cpuNs.set(0); gcMs.set(0); readB.set(0); shufB.set(0)
+        // host steal/system around the timed run (same attribution as
+        // Bench): a hypervisor-throttle window shows up here, not in the
+        // engine
+        def hostCpu(): (Double, Double) = try {
+          val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+            .split("\\s+").drop(1).map(_.toDouble)
+          (l(2) / 100.0, (if (l.length > 7) l(7) else 0.0) / 100.0)
+        } catch { case _: Throwable => (0.0, 0.0) }
+        val h0 = hostCpu()
         val t0 = System.nanoTime()
         val n = DedupPipeline.run(spark, pages, cfg).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val h1 = hostCpu()
         Thread.sleep(500) // drain the async listener bus
-        println(f"[probe] cpus=$cpus%2d nDocs=$nDocs sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f outRows=$n cpu_core_sec=${cpuNs.get / 1e9}%8.1f gc_sec=${gcMs.get / 1e3}%6.1f read_mb=${readB.get / 1e6}%9.1f shuffle_mb=${shufB.get / 1e6}%9.1f shuffle_b_per_doc=${shufB.get / nDocs}%6d")
+        println(f"[probe] cpus=$cpus%2d nDocs=$nDocs sec=$sec%8.2f docs_per_sec=${nDocs / sec}%9.1f outRows=$n cpu_core_sec=${cpuNs.get / 1e9}%8.1f gc_sec=${gcMs.get / 1e3}%6.1f read_mb=${readB.get / 1e6}%9.1f shuffle_mb=${shufB.get / 1e6}%9.1f shuffle_b_per_doc=${shufB.get / nDocs}%6d host_sys_sec=${h1._1 - h0._1}%7.1f host_steal_sec=${h1._2 - h0._2}%5.1f")
         pages.unpersist()
       } finally spark.stop()
     }

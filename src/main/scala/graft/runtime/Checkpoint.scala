@@ -398,6 +398,19 @@ object Checkpoint {
           try java.nio.file.Files.move(reaped, p,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
+            // a third worker's create landed first, so the FRESH lease we
+            // stole cannot be restored: its owner is dispossessed for the
+            // rest of its day. Mirror acquireLock's DISPOSSESSED surfacing
+            // (no runs table at this layer — a marker file next to the
+            // lease records who lost it, and releaseDayLease's
+            // content-verify keeps the loser from deleting the winner's
+            // lease afterwards; round-5 ADVICE).
+            val marker = p.resolveSibling(s"${p.getFileName}.dispossessed")
+            try java.nio.file.Files.writeString(marker,
+              java.nio.file.Files.readString(reaped))
+            catch { case _: java.io.IOException => }
+            System.err.println(
+              s"[checkpoint] day-lease dispossession: $p (owner lease moved aside during concurrent stale-reap; marker written)")
             java.nio.file.Files.deleteIfExists(reaped): Unit }
           return false
         }
