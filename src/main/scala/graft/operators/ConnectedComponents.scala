@@ -97,11 +97,23 @@ object ConnectedComponents {
       // join-based hop 1 + upstream vertices.distinct() put two extra
       // full-edge-list exchanges inside round 1 — at the 2M-doc bench
       // round 1 was 18.7 s of the ~24 s CC total at 32 cores).
+      // Round 1's hop-1 aggregation feeds BOTH the round's union side and
+      // the message join's build side. Left lazy, AQE does NOT reuse the
+      // exchange between the two consumers (verified empirically: the
+      // executed round-1 plan carries two identical
+      // Exchange+HashAggregate stages over `sym`, ShuffleQueryStage 3 and
+      // 5 — the full edge list is aggregated twice). An eager
+      // localCheckpoint materializes it once — AQE-sized partitions, and
+      // the preserved hashpartitioning(id) feeds the join without a
+      // re-exchange; rounds 2+ need nothing: their `labels` is already a
+      // checkpointed RDD, so its two consumers just re-scan cheap blocks.
       val base =
         if (iter == 0) {
+          spark.sparkContext.setJobDescription("cc: round 1 hop-1 labels")
           sym.select(col("dst").as("id"), col("src").as("component"))
             .union(labels)
             .groupBy("id").agg(min(col("component")).as("component"))
+            .localCheckpoint(eager = true)
         } else labels
       val msgs = sym
         .join(base, sym("src") === base("id"))

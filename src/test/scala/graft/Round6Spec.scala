@@ -89,6 +89,47 @@ class Round6Spec extends AnyFunSuite {
       Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("CC round 1 computes the hop-1 aggregation once (pinned base, no " +
+    "duplicated edge-list exchange)") {
+    // Mirrors ConnectedComponents round 1's plan shape. With `base` left
+    // lazy, AQE does NOT reuse the exchange between its two consumers
+    // (measured: the executed plan carried TWO identical
+    // Exchange+HashAggregate stages over the cached edge list — the full
+    // hop-1 aggregation ran twice, and the cache was scanned 3x). With
+    // the eager localCheckpoint the production code now uses, the fused
+    // round job scans the edge cache exactly ONCE (the message join);
+    // hop-1 labels come from the pinned RDD.
+    import spark.implicits._
+    val e = (1L to 4000L).map(i => (i, i % 997)).toDF("src", "dst")
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .select(col("id"), col("id").as("component"))
+      val base = sym.select(col("dst").as("id"), col("src").as("component"))
+        .union(labels)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(eager = true)
+      val msgs = sym.join(base, sym("src") === base("id"))
+        .select(sym("dst").as("id"), col("component"), lit(false).as("own"))
+      val next = base.select(col("id"), col("component"), lit(true).as("own"))
+        .union(msgs)
+        .groupBy("id")
+        .agg(min(col("component")).as("component"),
+          min(when(col("own"), col("component"))).as("prev_component"))
+      next.collect()
+      // AQE's explain string repeats the plan ("Final Plan" + "Initial
+      // Plan") — count scans in the executed final section only
+      val plan = next.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cacheScans == 1,
+        s"round job must scan the edge cache once, saw $cacheScans:\n$plan")
+    } finally sym.unpersist(): Unit
+  }
+
   test("CC convergence check never declares early convergence on a long " +
     "path (accumulator counts every changed label)") {
     // path of 33 vertices: label 1 must reach vertex 33 (diameter 32,
