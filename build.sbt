@@ -27,11 +27,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// dev hook: extra JVM flags for forked runs (e.g. SPARK_EXTRA_JVM="-Xlog:gc")
-javaOptions ++= sys.env.get("SPARK_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Round-6 measured engine defaults (same-session 3-way A/B, 2 M docs,
+  // local[32], identical corpus/outputs): zstd block codec + compressed
+  // serialized RDD blocks vs the lz4/uncompressed defaults cut shuffle
+  // bytes 26,429 -> 15,914 B/doc (-40 %), task read bytes 66.7 -> 29.4 GB
+  // (-56 %, the DISK_ONLY caches re-read compressed), peak blockmgr
+  // scratch 39.3 -> 18.5 GB (-53 %) AND total CPU 4,770 -> 4,062 core-s
+  // (-15 %): the decode cost is far below the saved I/O path work. This
+  // is scale-independent (on a cluster the same bytes cross NICs and
+  // node-local SSDs), matches the optimization guide's baseline config,
+  // and attacks the two measured box limits at once: the scratch cliff
+  // and the sustained-I/O hypervisor throttle. rdd.compress alone (lz4)
+  // was also measured: read/scratch drop but no CPU win — the pair is
+  // what pays.
+  "-Dspark.io.compression.codec=zstd",
+  "-Dspark.rdd.compress=true",
   // local[32] runs need headroom: 8g makes the 32-thread runs GC-bound
   // (and wrecks measured scaling); the box has 125 GiB.
   // 28g, down from round 4's 48g: the 48g sizing predates the DISK_ONLY
@@ -57,6 +70,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
+// dev hook: extra JVM flags for forked runs (e.g. SPARK_EXTRA_JVM="-Xlog:gc").
+// Appended AFTER the defaults so a duplicated -D flag here wins (later
+// occurrence takes precedence in the JVM) — that is what lets probe A/Bs
+// override the codec/compress defaults above without a build edit.
+javaOptions ++= sys.env.get("SPARK_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)
 // physical-memory-scaled heap default: ~22% of RAM, clamped to [2g, 28g].
 // /proc/meminfo first (reflective getMethod on the MXBean IMPL class hits
 // the JDK17 module wall — InaccessibleObjectException — and silently fell
